@@ -1,0 +1,137 @@
+"""URL canonicalization: RFC 3986 normalization + SURT frontier keys.
+
+The reference dedups on the RAW url string (main.py:197-206 +
+pipeline.yaml:56-58); the engine keeps that for parity but keys its own
+URL-seen set and frontier on a canonical form (north_rule: "partitioned
+bloom/cuckoo filters keyed by canonicalized URL hash (RFC 3986 normalization
++ SURT form)").  Canonicalization steps (public practice per RFC 3986 §6 and
+the Heritrix/Common-Crawl SURT convention):
+
+* lowercase scheme + host; strip trailing dot on host
+* drop default ports (http:80 / https:443)
+* percent-decode unreserved characters, uppercase remaining %XX
+* collapse dot-segments in the path; empty path → '/'
+* sort query parameters; drop the fragment
+* SURT: reverse host labels 'a.b.com' → 'com,b,a)' prefix so same-domain
+  URLs sort/partition together (locality for per-host politeness grouping)
+
+Pure-Python core (used inside the Arrow-batched UDF) + Spark-native column
+helpers for the cheap pieces (host, naive parity resolution).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import quote, unquote, urlparse
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+_UNRESERVED = re.compile(r"%(2D|2E|5F|7E|3[0-9]|[46][1-9A-F]|[57][0-9A])", re.IGNORECASE)
+
+
+def _norm_pct(s: str) -> str:
+    """Percent-decode unreserved chars, uppercase remaining escapes."""
+    s = unquote(s, errors="replace")
+    return quote(s, safe="/:@!$&'()*+,;=~-._")
+
+
+def canonical_url(url: str | None) -> str | None:
+    """RFC 3986-normalized absolute URL, fragment dropped."""
+    if not url:
+        return None
+    try:
+        p = urlparse(url.strip())
+    except ValueError:
+        return None
+    scheme = p.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = (p.hostname or "").lower().rstrip(".")
+    if not host:
+        return None
+    port = ""
+    try:
+        if p.port and str(p.port) != _DEFAULT_PORTS.get(scheme):
+            port = f":{p.port}"
+    except ValueError:
+        return None
+    path = _norm_pct(p.path) or "/"
+    # collapse dot-segments (RFC 3986 §5.2.4)
+    segs: list[str] = []
+    for seg in path.split("/"):
+        if seg == "..":
+            if segs:
+                segs.pop()
+        elif seg != ".":
+            segs.append(seg)
+    path = "/" + "/".join(s for s in segs if s != "") if segs else "/"
+    if path == "":
+        path = "/"
+    query = ""
+    if p.query:
+        parts = sorted(p.query.split("&"))
+        query = "?" + "&".join(_norm_pct(q) for q in parts if q)
+    return f"{scheme}://{host}{port}{path}{query}"
+
+
+def surt_key(url: str | None) -> str | None:
+    """SURT form of the canonical URL: 'com,example,www)/path?query'.
+
+    The frontier/seen key: per-domain locality under range partitioning,
+    stable hash input for the Bloom shards.
+    """
+    cu = canonical_url(url)
+    if cu is None:
+        return None
+    p = urlparse(cu)
+    host = p.hostname or ""
+    rev = ",".join(reversed(host.split(".")))
+    port = f":{p.port}" if p.port else ""
+    q = f"?{p.query}" if p.query else ""
+    return f"{rev}{port}){p.path}{q}"
+
+
+@pandas_udf(StringType())
+def canonical_url_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(canonical_url, na_action="ignore")
+
+
+@pandas_udf(StringType())
+def surt_key_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(surt_key, na_action="ignore")
+
+
+# ---------------------------------------------------------------------------
+# Spark-native column helpers (no Python worker)
+# ---------------------------------------------------------------------------
+
+
+def host_col(url: Column) -> Column:
+    """E15 (cli.py:188): netloc — Spark-native ``parse_url``."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def url_key_hash(url_key: Column, bits: int = 64) -> Column:
+    """Stable 64-bit hash of the canonical key — Bloom/partition input."""
+    return F.xxhash64(url_key)
+
+
+def naive_resolve_col(base_url: Column, ref: Column) -> Column:
+    """Parity-mode E4 resolution (parser.py:76-80) as a native expression:
+    absolute http(s) pass-through, '/x' → base+x, else base+'/'+x."""
+    is_abs = ref.startswith("http://") | ref.startswith("https://")
+    return (
+        F.when(base_url.isNull() | is_abs, ref)
+        .when(ref.startswith("/"), F.concat(base_url, ref))
+        .otherwise(F.concat(base_url, F.lit("/"), ref))
+    )
+
+
+def valid_url_col(url: Column) -> Column:
+    """F2 (web_interface.py:153): URL-shape gate as native rlike."""
+    return url.rlike(r"^https?://[^\s/$.?#].[^\s]*$")

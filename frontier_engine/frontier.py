@@ -1,0 +1,317 @@
+"""The crawl-frontier round loop (SURVEY §3.4 engine lifecycle).
+
+The reference is a sequential single-generation loop over a seed list
+(main.py:79-127).  The engine generalizes it into batch ROUNDS over a
+frontier DataFrame, each round = ``round_seconds`` of virtual wall time:
+
+  1. candidates = pending ∧ not_before ≤ now          (retry gating, P4)
+  2. unseen    = bloom-prefilter + exact anti-join     (§2.6, J3)
+  3. policy    = broadcast host_policy + robots gate   (J5, P7)
+  4. quota     = per-host window rank → politeness cut (P1-P3, A4)
+  5. salted host repartition                           (P10)
+  6. fetch     = join vs pages table (sandbox) / HTTP  (S5)
+  7. extract   = one-pass Arrow-batched UDF            (E1-E8)
+  8. commit    = pages+seen+frontier+metrics snapshot  (K4)
+
+``max_depth=0`` reproduces the reference exactly: the URL set processed is
+the seed list in seed order per host (P8 parity — SURVEY §3.4).  Depth>0
+enables frontier expansion with OPIC-style score splitting, which the
+reference never does (its extract_links output is stored, never enqueued).
+
+Determinism contract (SURVEY §7.4): every keep-first / rank uses explicit
+order keys (score desc, seed_index asc, url_key asc) — never partition
+order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, LongType, StringType
+
+from frontier_engine import seen as seenmod
+from frontier_engine.canonicalize import host_col, surt_key_udf, valid_url_col
+from frontier_engine.extract import content_hash_col, with_extractions
+from frontier_engine.fetch import fetch_via_pages_table
+from frontier_engine.metrics import round_metrics
+from frontier_engine.politeness import (
+    join_host_policy,
+    rank_and_quota,
+    robots_allowed,
+    salted_repartition,
+)
+from frontier_engine.storage import SnapshotStore
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = 0  # 0 = reference parity (no enqueue of discovered links)
+    round_seconds: float = 60.0
+    max_rounds: int = 1000
+    max_attempts: int = 3  # tenacity stop_after_attempt(3), scraper.py:137
+    retry_backoff: float = 8.0  # seconds of virtual time before retry
+    use_bloom: bool = False
+    bloom_shards: int = 64
+    max_per_host_per_round: int | None = None
+    honor_robots: bool = False  # reference never does (P7); engine can
+    salt_buckets: int = 8
+    n_partitions: int = 32
+    checkpoint_dir: str | None = None
+    extra: dict = field(default_factory=dict)
+
+
+FRONTIER_COLS = [
+    "url", "url_key", "host", "depth", "score", "status",
+    "attempt", "not_before", "seed_index", "discovered_ts",
+]
+
+
+def seeds_to_frontier(spark: SparkSession, seed_urls: list[str]) -> DataFrame:
+    """Seed list → frontier rows, keep-first dedup by canonical key (A5).
+
+    Mirrors cli.py:77-84 + main.py:197-206: ordering comes from the seed
+    file position; duplicate canonical URLs keep the first occurrence.
+    """
+    rows = [(i, u) for i, u in enumerate(seed_urls)]
+    df = spark.createDataFrame(rows, "seed_index long, url string")
+    df = df.filter(valid_url_col(F.col("url")))  # F2 gate
+    df = df.withColumn("url_key", surt_key_udf("url")).filter(F.col("url_key").isNotNull())
+    w = Window.partitionBy("url_key").orderBy("seed_index")
+    df = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    return df.select(
+        "url",
+        "url_key",
+        host_col(F.col("url")).alias("host"),
+        F.lit(0).cast(IntegerType()).alias("depth"),
+        F.lit(1.0).cast(DoubleType()).alias("score"),
+        F.lit("pending").alias("status"),
+        F.lit(0).cast(IntegerType()).alias("attempt"),
+        F.lit(0.0).cast(DoubleType()).alias("not_before"),  # virtual seconds
+        "seed_index",
+        F.lit(0.0).cast(DoubleType()).alias("discovered_ts"),
+    )
+
+
+@dataclass
+class CrawlResult:
+    pages: DataFrame
+    seen: DataFrame
+    frontier: DataFrame
+    metrics: DataFrame
+    rounds: int
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages_corpus: DataFrame,
+    seed_urls: list[str],
+    config: CrawlConfig | None = None,
+    host_policy: DataFrame | None = None,
+    resume_store: SnapshotStore | None = None,
+) -> CrawlResult:
+    cfg = config or CrawlConfig()
+    store = resume_store or (SnapshotStore(spark, cfg.checkpoint_dir) if cfg.checkpoint_dir else None)
+
+    empty_seen = spark.createDataFrame([], "url_key string, url string, content_hash string")
+    empty_metrics = spark.createDataFrame(
+        [], "round int, partition_id int, host string, fetched long, failed long, deduped long, bytes long, snapshot_id string"
+    )
+    start_round = 0
+    if store is not None and (last := store.latest_round()) is not None:
+        frontier = store.read(last, "frontier")
+        seen_df = store.read(last, "seen")
+        pages_out = store.read(last, "pages")
+        metrics_df = store.read(last, "metrics")
+        start_round = last + 1
+    else:
+        frontier = seeds_to_frontier(spark, seed_urls)
+        seen_df = empty_seen
+        pages_out = None
+        metrics_df = empty_metrics
+
+    now = start_round * cfg.round_seconds
+    rounds_run = 0
+    for round_no in range(start_round, cfg.max_rounds):
+        pending = frontier.filter((F.col("status").isin("pending", "retry")) & (F.col("not_before") <= F.lit(now)))
+        if pending.limit(1).count() == 0:
+            break
+        rounds_run += 1
+
+        # 2. URL-seen gate — exact anti-join, optional bloom pre-filter
+        shards = None
+        if cfg.use_bloom:
+            shards = seenmod.build_bloom_shards(seen_df, n_shards=cfg.bloom_shards)
+        unseen = seenmod.filter_unseen(
+            pending, seen_df, use_bloom=cfg.use_bloom, shards=shards, n_shards=cfg.bloom_shards
+        )
+
+        # 3-4. politeness: policy join, robots, per-host rank+quota
+        cand = join_host_policy(unseen, host_policy)
+        blocked_keys = None
+        if cfg.honor_robots:
+            allowed = robots_allowed(cand)
+            # robots-blocked rows leave the frontier permanently (else they
+            # would stay pending forever and the loop could never drain)
+            blocked_keys = cand.select("url_key").subtract(allowed.select("url_key"))
+            cand = allowed
+        batch = rank_and_quota(cand, cfg.round_seconds, cfg.max_per_host_per_round)
+
+        # 5. salt the hot hosts across tasks
+        batch = salted_repartition(batch, cfg.n_partitions, cfg.salt_buckets)
+
+        # 6-7. fetch + extract
+        fetched = fetch_via_pages_table(batch, pages_corpus)
+        ok = fetched.filter(F.col("fetch_status") == "fetched")
+        extracted = with_extractions(
+            ok.select(
+                "url", "url_key", "host", "depth", "score", "seed_index",
+                "host_rank", "slot_ts", "html",
+            )
+        ).withColumn("content_hash", content_hash_col(F.col("html"))).withColumn(
+            "round", F.lit(round_no)
+        ).withColumn("fetch_ts", F.lit(now) + F.col("slot_ts"))
+
+        # cache: extracted feeds pages-out, seen-update, link expansion, metrics
+        extracted.persist()
+
+        # 8a. seen update: fetched rows + exhausted failures are 'seen'
+        failed = fetched.filter(F.col("fetch_status") == "failed")
+        exhausted = failed.filter(F.col("attempt") + 1 >= cfg.max_attempts)
+        new_seen = (
+            extracted.select("url_key", "url", "content_hash")
+            .unionByName(exhausted.select("url_key", "url", F.lit(None).cast(StringType()).alias("content_hash")))
+        )
+        seen_df = seen_df.unionByName(new_seen).dropDuplicates(["url_key"])
+
+        # 8b. frontier update: mark fetched, schedule retries, enqueue links
+        fetched_keys = extracted.select("url_key")
+        retry_rows = (
+            failed.filter(F.col("attempt") + 1 < cfg.max_attempts)
+            .select(
+                "url", "url_key", "host", "depth", "score",
+                F.lit("retry").alias("status"),
+                (F.col("attempt") + 1).alias("attempt"),
+                (F.lit(now) + F.lit(cfg.retry_backoff) * F.pow(F.lit(2.0), F.col("attempt"))).alias("not_before"),
+                "seed_index",
+                F.col("discovered_ts"),
+            )
+        )
+        leftover = frontier.filter((F.col("status").isin("pending", "retry")) & (F.col("not_before") > F.lit(now)))
+        # rows not selected this round (over quota / bloom-deferred) stay pending
+        selected_keys = batch.select("url_key")
+        not_selected = (
+            pending.join(selected_keys, "url_key", "left_anti")
+            .join(seen_df.select("url_key"), "url_key", "left_anti")  # may have just been seen via dup key
+        )
+        if blocked_keys is not None:
+            not_selected = not_selected.join(blocked_keys, "url_key", "left_anti")
+        not_selected = not_selected.select(*FRONTIER_COLS)
+        next_frontier = leftover.select(*FRONTIER_COLS).unionByName(not_selected).unionByName(retry_rows.select(*FRONTIER_COLS))
+
+        if cfg.max_depth > 0:
+            discovered = _expand_links(extracted, cfg, now)
+            known = seen_df.select("url_key").unionByName(next_frontier.select("url_key")).unionByName(fetched_keys)
+            fresh = discovered.join(known.distinct(), "url_key", "left_anti")
+            next_frontier = next_frontier.unionByName(fresh.select(*FRONTIER_COLS))
+
+        # 8c. pages out
+        page_rows = extracted.select(
+            "url", "url_key", "host", "depth", "round", "host_rank", "slot_ts", "fetch_ts",
+            "seed_index", "html", F.col("extracted_text").alias("text"),
+            "links", "images", "tables", "page_metadata", "json_ld", "content_hash",
+        )
+        pages_out = page_rows if pages_out is None else pages_out.unionByName(page_rows)
+
+        # 8d. metrics + checkpoint
+        m = round_metrics(fetched, round_no, deduped_count=0, snapshot_id=None)
+        metrics_df = metrics_df.unionByName(m)
+
+        if store is not None:
+            snap = store.commit_round(
+                round_no,
+                {"frontier": next_frontier, "seen": seen_df, "pages": pages_out, "metrics": metrics_df},
+                extra={"virtual_now": now},
+            )
+            # re-read from the snapshot: truncates lineage, bounds plan growth
+            next_frontier = store.read(round_no, "frontier")
+            seen_df = store.read(round_no, "seen")
+            pages_out = store.read(round_no, "pages")
+            metrics_df = store.read(round_no, "metrics")
+            _ = snap
+        else:
+            # bound logical-plan growth across rounds without a store
+            next_frontier = next_frontier.localCheckpoint(eager=True)
+            seen_df = seen_df.localCheckpoint(eager=True)
+            pages_out = pages_out.localCheckpoint(eager=True)
+            metrics_df = metrics_df.localCheckpoint(eager=True)
+
+        extracted.unpersist()
+        frontier = next_frontier
+        now += cfg.round_seconds
+
+    if pages_out is None:
+        pages_out = spark.createDataFrame([], _EMPTY_PAGES_DDL)
+    return CrawlResult(pages=pages_out, seen=seen_df, frontier=frontier, metrics=metrics_df, rounds=rounds_run)
+
+
+_EMPTY_PAGES_DDL = (
+    "url string, url_key string, host string, depth int, round int, host_rank int, "
+    "slot_ts double, fetch_ts double, seed_index long, html binary, text string, "
+    "links array<struct<url:string,text:string>>, images array<struct<url:string,alt:string>>, "
+    "tables array<array<array<string>>>, page_metadata map<string,string>, "
+    "json_ld array<string>, content_hash string"
+)
+
+
+def _expand_links(extracted: DataFrame, cfg: CrawlConfig, now: float) -> DataFrame:
+    """Discovered links → new frontier rows with OPIC-style score split.
+
+    Each fetched page's score is split evenly across its outlinks
+    (OPIC 'cash' model, Abiteboul et al. 2003); duplicates across parents
+    SUM their contributions — both are single exprs over the exploded
+    generate, then one aggregation by url_key.
+    """
+    links = (
+        extracted.select(
+            F.col("score").alias("parent_score"),
+            F.col("depth").alias("parent_depth"),
+            F.size("links").alias("n_links"),
+            F.explode("links").alias("l"),
+        )
+        .select(
+            F.col("l.url").alias("url"),
+            (F.col("parent_score") / F.greatest(F.col("n_links"), F.lit(1))).alias("contrib"),
+            (F.col("parent_depth") + 1).alias("depth"),
+        )
+        .filter(valid_url_col(F.col("url")) & (F.col("depth") <= cfg.max_depth))
+    )
+    links = links.withColumn("url_key", surt_key_udf("url")).filter(F.col("url_key").isNotNull())
+    return (
+        links.groupBy("url_key")
+        .agg(
+            F.min_by("url", "url").alias("url"),  # deterministic representative
+            F.sum("contrib").alias("score"),
+            F.min("depth").alias("depth"),
+        )
+        .select(
+            "url",
+            "url_key",
+            host_col(F.col("url")).alias("host"),
+            F.col("depth").cast(IntegerType()),
+            F.col("score").cast(DoubleType()),
+            F.lit("pending").alias("status"),
+            F.lit(0).cast(IntegerType()).alias("attempt"),
+            F.lit(now).cast(DoubleType()).alias("not_before"),
+            F.lit(None).cast(LongType()).alias("seed_index"),
+            F.lit(now).cast(DoubleType()).alias("discovered_ts"),
+        )
+    )
+
+
+def fetch_order(pages: DataFrame) -> DataFrame:
+    """Global deterministic fetch order: virtual fetch time, then host/rank."""
+    return pages.orderBy("round", "fetch_ts", "host", "host_rank").select(
+        "round", "host", "host_rank", "fetch_ts", "url"
+    )

@@ -1,0 +1,85 @@
+"""Per-host politeness scheduling (SURVEY §2.7).
+
+Reference behavior being generalized: a single sequential worker sleeping
+``delay_between_requests × U(0.8,1.2)`` between fetches (scraper.py:97-101),
++2 s post-fetch (scraper.py:157), + loop delay (main.py:123) — i.e. a
+per-HOST serial budget.  The engine never sleeps an executor: politeness is
+*virtual time* — each crawl round represents ``round_seconds`` of wall time
+and a host may fetch at most ``floor(round_seconds / crawl_delay)`` URLs in
+it, scheduled at slots ``i * crawl_delay``.  Ordering inside a host is the
+frontier priority (score desc, then seed_index, then url_key — deterministic
+under any partitioning, SURVEY §7.4).
+
+robots.txt: the reference has NONE (P7) — parity mode is allow-all.  Engine
+mode evaluates serialized deny-prefix rules from the ``host_policy`` table
+(broadcast join; the policy table is tiny relative to the frontier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_CRAWL_DELAY = 3.0  # config.yaml:4
+
+
+def join_host_policy(frontier: DataFrame, host_policy: DataFrame | None) -> DataFrame:
+    """Broadcast-join the per-host policy; unknown hosts get the reference
+    default delay and allow-all rules."""
+    if host_policy is None:
+        return frontier.withColumn("crawl_delay", F.lit(DEFAULT_CRAWL_DELAY)).withColumn(
+            "robots_rules", F.lit("")
+        )
+    return frontier.join(F.broadcast(host_policy), "host", "left").fillna(
+        {"crawl_delay": DEFAULT_CRAWL_DELAY, "robots_rules": ""}
+    )
+
+
+def robots_allowed(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Drop rows whose URL path starts with any deny prefix in
+    ``robots_rules`` (comma-separated).  Native expressions only: the rules
+    column is exploded lazily via ``exists`` over a split array — no UDF."""
+    path = F.parse_url(F.col(url_col), F.lit("PATH"))
+    denies = F.filter(F.split(F.coalesce(F.col("robots_rules"), F.lit("")), ","), lambda d: d != "")
+    blocked = F.exists(denies, lambda d: path.startswith(d))
+    return df.filter(~F.coalesce(blocked, F.lit(False)))
+
+
+def rank_and_quota(
+    candidates: DataFrame,
+    round_seconds: float,
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """Window-rank candidates per host and keep the politeness quota.
+
+    Appends:
+      host_rank  — 1-based fetch position within the host this round
+      slot_ts    — virtual offset (seconds) inside the round = (rank-1)*delay
+
+    Quota = floor(round_seconds / crawl_delay), min 1, optionally capped.
+    One shuffle on host; skew is defused upstream by the salted repartition
+    (frontier.py) and bounded anyway: a hot host can't exceed its quota.
+    """
+    w = Window.partitionBy("host").orderBy(
+        F.col("score").desc(),
+        F.col("seed_index").asc_nulls_last(),
+        F.col("url_key").asc(),
+    )
+    quota = F.greatest(F.floor(F.lit(round_seconds) / F.col("crawl_delay")), F.lit(1))
+    if max_per_host is not None:
+        quota = F.least(quota, F.lit(max_per_host))
+    return (
+        candidates.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= quota)
+        .withColumn("slot_ts", (F.col("host_rank") - 1) * F.col("crawl_delay"))
+    )
+
+
+def salted_repartition(df: DataFrame, n_partitions: int, salt_buckets: int = 8) -> DataFrame:
+    """P10 — host-keyed repartition with a salt term so one hot host spreads
+    over ``salt_buckets`` tasks instead of pinning one executor.  Politeness
+    is already enforced by rank_and_quota (order/slots assigned BEFORE the
+    salt), so splitting a host across tasks never violates its delay budget."""
+    return df.repartition(
+        n_partitions, F.col("host"), F.pmod(F.xxhash64(F.col("url_key")), F.lit(salt_buckets))
+    )

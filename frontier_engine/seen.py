@@ -1,0 +1,187 @@
+"""Distributed URL-seen set: partitioned Bloom shards + authoritative anti-join.
+
+North-rule core (SURVEY §2.6).  Semantics to preserve (reference):
+row-level dedup by url keep-first (main.py:197-206) and content-level dedup
+via md5[:10] content addressing (media_downloader.py:181-188).
+
+Design for 10^10 keys:
+
+* The seen set lives as a DataFrame/table of ``url_key`` (SURT canonical
+  form).  The EXACT left-anti join against it is always authoritative —
+  Bloom false positives can only send a candidate to the exact join, never
+  drop it; Bloom negatives are *definitely unseen* and skip the join.
+* Bloom state is SHARDED by hash-space: ``shard_id = pmod(xxhash64(url_key),
+  n_shards)``.  Each shard is a fixed-size bitmap built per shard-group with
+  ``applyInPandas`` (numpy, vectorized), OR-merged if a shard is built
+  incrementally.  Shards stay IN A DATAFRAME — (shard_id, bitmap) — and the
+  membership test is a cogrouped ``applyInPandas`` join on shard_id, so no
+  bitmap ever has to fit on the driver (at 10^10 keys / 1% fp the full
+  filter is ~12 GB; 4096 shards of ~3 MB each spread across executors).
+* Bloom hashing uses blake2b-derived double hashing (h1 + i*h2), purely
+  Python-side and identical at build and probe time; xxhash64 is used only
+  for shard ROUTING so Spark-native and UDF-side routing agree via the
+  JVM function.
+
+At small scale the exact anti-join alone wins; ``use_bloom`` is a knob, and
+correctness tests run both paths and assert identical results.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+SHARD_SCHEMA = StructType(
+    [
+        StructField("shard_id", IntegerType(), False),
+        StructField("n_keys", LongType(), False),
+        StructField("bitmap", BinaryType(), False),
+    ]
+)
+
+K_HASHES = 7  # ~optimal for 1% fp: k = m/n ln2 with m/n ≈ 9.6
+
+
+def _bit_positions(key: str, m_bits: int) -> np.ndarray:
+    """K_HASHES positions via double hashing of blake2b-128(key)."""
+    d = hashlib.blake2b(key.encode("utf-8"), digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return np.array([(h1 + i * h2) % m_bits for i in range(K_HASHES)], dtype=np.int64)
+
+
+def bits_for(expected_keys_per_shard: int, fp_rate: float = 0.01) -> int:
+    m = int(-expected_keys_per_shard * math.log(fp_rate) / (math.log(2) ** 2))
+    return max(1024, (m + 7) // 8 * 8)  # byte-aligned
+
+
+def with_shard_id(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
+    return df.withColumn("shard_id", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int"))
+
+
+def build_bloom_shards(
+    seen: DataFrame, key_col: str = "url_key", n_shards: int = 64, fp_rate: float = 0.01,
+    expected_per_shard: int | None = None,
+) -> DataFrame:
+    """(shard_id, n_keys, bitmap) — one row per non-empty shard.
+
+    Build = one shuffle on shard_id, then a vectorized per-group bitmap
+    fill.  Incremental growth: union new keys, rebuild only the shards they
+    land in (callers diff on shard_id), or OR-merge with ``merge_shards``.
+    """
+    if expected_per_shard is None:
+        total = seen.count()
+        expected_per_shard = max(1024, int(total / n_shards * 1.5))
+    m_bits = bits_for(expected_per_shard, fp_rate)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+        keys = pdf[key_col].dropna()
+        for key in keys:
+            pos = _bit_positions(key, m_bits)
+            # unbuffered |= — two hash positions may share a byte; plain
+            # fancy-assignment would keep only one of the bits
+            np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "n_keys": [len(keys)],
+                "bitmap": [bitmap.tobytes()],
+            }
+        )
+
+    return (
+        with_shard_id(seen.select(key_col), key_col, n_shards)
+        .groupBy("shard_id")
+        .applyInPandas(build, schema=SHARD_SCHEMA)
+    )
+
+
+def merge_shards(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two shard sets (same n_shards/m_bits contract)."""
+
+    def om(pdf: pd.DataFrame) -> pd.DataFrame:
+        bufs = [np.frombuffer(x, dtype=np.uint8) for x in pdf["bitmap"]]
+        out = bufs[0].copy()
+        for x in bufs[1:]:
+            out |= x
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "n_keys": [int(pdf["n_keys"].sum())],  # upper bound
+                "bitmap": [out.tobytes()],
+            }
+        )
+
+    return a.unionByName(b).groupBy("shard_id").applyInPandas(om, schema=SHARD_SCHEMA)
+
+
+def bloom_maybe_seen(candidates: DataFrame, shards: DataFrame, key_col: str = "url_key",
+                     n_shards: int = 64) -> DataFrame:
+    """Append ``maybe_seen`` boolean via cogrouped probe on shard_id.
+
+    False ⇒ definitely NOT in the seen set (safe to skip the exact join);
+    True ⇒ must be confirmed by the exact anti-join.
+    """
+    out_fields = candidates.schema.fields + [StructField("maybe_seen", BooleanType(), False)]
+    out_schema = StructType(out_fields)
+    cand = with_shard_id(candidates, key_col, n_shards)
+
+    def probe(cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+        cand_pdf = cand_pdf.drop(columns=["shard_id"])
+        if len(cand_pdf) == 0:
+            return cand_pdf.assign(maybe_seen=pd.Series([], dtype=bool))
+        if len(shard_pdf) == 0:
+            return cand_pdf.assign(maybe_seen=False)
+        bitmap = np.frombuffer(shard_pdf["bitmap"].iloc[0], dtype=np.uint8)
+        m_bits = len(bitmap) * 8
+        flags = []
+        for key in cand_pdf[key_col]:
+            if key is None:
+                flags.append(False)
+                continue
+            pos = _bit_positions(key, m_bits)
+            flags.append(bool(np.all(bitmap[pos >> 3] & (1 << (pos & 7)))))
+        return cand_pdf.assign(maybe_seen=flags)
+
+    return (
+        cand.groupBy("shard_id")
+        .cogroup(shards.groupBy("shard_id"))
+        .applyInPandas(probe, schema=out_schema)
+    )
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    key_col: str = "url_key",
+    use_bloom: bool = False,
+    shards: DataFrame | None = None,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Rows of ``candidates`` whose key is NOT in ``seen`` — exact.
+
+    With ``use_bloom``, bloom-negative rows bypass the shuffle-heavy exact
+    anti-join; only bloom-positive rows (true hits + ~fp_rate noise) pay it.
+    Either path returns the same rows (tested under injected-FP filters).
+    """
+    if not use_bloom or shards is None:
+        return candidates.join(seen.select(key_col).distinct(), key_col, "left_anti")
+    flagged = bloom_maybe_seen(candidates, shards, key_col, n_shards)
+    negatives = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    positives = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_unseen = positives.join(seen.select(key_col).distinct(), key_col, "left_anti")
+    return negatives.unionByName(confirmed_unseen)

@@ -23,6 +23,13 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # make the package importable in Python workers regardless of the
+    # driver's cwd (the local-mode analogue of spark-submit --py-files)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + existing if existing else "")
+
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     cores = _parallelism_of(master)
     if shuffle_partitions is None:

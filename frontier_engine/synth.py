@@ -33,9 +33,11 @@ WORDS = (
 YT_IDS = ("dQw4w9WgXcQ", "abc123XYZ_-", "shortclip01")
 
 
-def _host(i: int, n_hosts: int, hot_frac: float, rng: random.Random) -> str:
-    """Host assignment with one deliberately hot host (~hot_frac of rows)."""
-    if rng.random() < hot_frac:
+def _host(i: int, n_hosts: int, hot_frac: float) -> str:
+    """Host assignment with one deliberately hot host (~hot_frac of rows).
+    Pure function of the row index (Knuth-hash bucketing) so that link
+    generators can predict another row's host."""
+    if (i * 2654435761) % 1000 < int(hot_frac * 1000):
         return "hot.example.com"
     return f"site{i % n_hosts}.example.org"
 
@@ -44,7 +46,7 @@ def _sentence(rng: random.Random, lo=4, hi=12) -> str:
     return " ".join(rng.choice(WORDS) for _ in range(rng.randint(lo, hi)))
 
 
-def build_html(i: int, url: str, host: str, rng: random.Random) -> str:
+def build_html(i: int, url: str, host: str, rng: random.Random, n_rows: int = 0) -> str:
     """One page's HTML; feature mix keyed off row index so every operator
     shape appears at a known density."""
     title = f"Page {i} — {_sentence(rng, 2, 4)}"
@@ -92,6 +94,10 @@ def build_html(i: int, url: str, host: str, rng: random.Random) -> str:
         parts.append(f'<a href="https://site{(i + 1) % 9}.example.org/abs/{i % 23}">xhost</a>')
     if i % 11 == 0:
         parts.append(f'<a href="/files/doc{i}.pdf">a pdf</a>')  # media link (E11)
+    if n_rows:  # intra-corpus absolute links → frontier expansion is fetchable
+        for j in ((i * 7 + 3) % n_rows, (i * 13 + 11) % n_rows):
+            h2 = _host(j, 20, 0.3)
+            parts.append(f'<a href="https://{h2}/pages/p{j}.html">corpus link {j}</a>')
 
     # images (E5) + data URL (S12)
     parts.append(f'<img src="/img/{i % 29}.png" alt="alt text {i % 29}">')
@@ -151,9 +157,9 @@ def gen_pages(n_rows: int, n_hosts: int = 20, seed: int = 42, hot_frac: float = 
     rng = random.Random(seed)
     rows = []
     for i in range(n_rows):
-        host = _host(i, n_hosts, hot_frac, rng)
+        host = _host(i, n_hosts, hot_frac)
         url = page_url(i, host)
-        html = build_html(i, url, host, rng)
+        html = build_html(i, url, host, rng, n_rows=n_rows)
         rows.append(
             {
                 "url": url,

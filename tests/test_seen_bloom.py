@@ -1,0 +1,80 @@
+"""URL-seen set tests: exact anti-join vs Bloom-prefiltered path (SURVEY §2.6).
+
+The Bloom pre-filter must never change the result — false positives only
+route rows to the exact join; under an intentionally FP-heavy filter the
+outputs still match exactly.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from frontier_engine import seen as seenmod
+
+
+@pytest.fixture(scope="module")
+def dfs(spark):
+    seen = spark.createDataFrame(
+        [(f"com,ex)/{i}", f"https://ex.com/{i}", None) for i in range(0, 1000, 2)],
+        "url_key string, url string, content_hash string",
+    )
+    cands = spark.createDataFrame(
+        [(f"com,ex)/{i}", f"https://ex.com/{i}") for i in range(1000)],
+        "url_key string, url string",
+    )
+    return seen, cands
+
+
+def test_exact_anti_join(dfs):
+    seen, cands = dfs
+    out = seenmod.filter_unseen(cands, seen)
+    keys = {r.url_key for r in out.collect()}
+    assert keys == {f"com,ex)/{i}" for i in range(1, 1000, 2)}
+
+
+def test_bloom_path_identical(dfs):
+    seen, cands = dfs
+    shards = seenmod.build_bloom_shards(seen, n_shards=8)
+    out = seenmod.filter_unseen(cands, seen, use_bloom=True, shards=shards, n_shards=8)
+    keys = {r.url_key for r in out.collect()}
+    assert keys == {f"com,ex)/{i}" for i in range(1, 1000, 2)}
+
+
+def test_bloom_fp_heavy_still_exact(dfs):
+    """Tiny bitmaps (expected_per_shard=16 for ~62 keys/shard) → massive FP
+    rate; the exact join must still yield the exact answer."""
+    seen, cands = dfs
+    shards = seenmod.build_bloom_shards(seen, n_shards=8, expected_per_shard=16, fp_rate=0.5)
+    out = seenmod.filter_unseen(cands, seen, use_bloom=True, shards=shards, n_shards=8)
+    keys = {r.url_key for r in out.collect()}
+    assert keys == {f"com,ex)/{i}" for i in range(1, 1000, 2)}
+
+
+def test_bloom_no_false_negatives(dfs):
+    """Every key that IS in the filter must probe positive."""
+    seen, _ = dfs
+    shards = seenmod.build_bloom_shards(seen, n_shards=8)
+    flagged = seenmod.bloom_maybe_seen(seen.select("url_key"), shards, n_shards=8)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_bloom_fp_rate_reasonable(dfs):
+    """At the designed 1% fp target, unseen keys should rarely probe true."""
+    seen, cands = dfs
+    unseen_only = cands.join(seen.select("url_key"), "url_key", "left_anti")
+    shards = seenmod.build_bloom_shards(seen, n_shards=8, fp_rate=0.01)
+    flagged = seenmod.bloom_maybe_seen(unseen_only, shards, n_shards=8)
+    fp = flagged.filter(F.col("maybe_seen")).count()
+    assert fp <= 25  # 500 unseen keys, 1% target → expect ~5, allow slack
+
+
+def test_merge_shards(spark):
+    a = spark.createDataFrame([("k,a)/1", "u", None)], "url_key string, url string, content_hash string")
+    b = spark.createDataFrame([("k,b)/2", "u", None)], "url_key string, url string, content_hash string")
+    sa = seenmod.build_bloom_shards(a, n_shards=4, expected_per_shard=1024)
+    sb = seenmod.build_bloom_shards(b, n_shards=4, expected_per_shard=1024)
+    merged = seenmod.merge_shards(sa, sb)
+    both = spark.createDataFrame(
+        [("k,a)/1", "x"), ("k,b)/2", "y")], "url_key string, url string"
+    )
+    flagged = seenmod.bloom_maybe_seen(both, merged, n_shards=4)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
