@@ -1,38 +1,557 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+training-data ops); each takes (spark, sf_dir) and returns a DataFrame.
+``oracle_sql()`` — DuckDB ANSI-SQL twin per query (same column names, same
+rounding); omitted only for genuinely non-SQL-expressible ops (those get the
+driver's rows-only check).
+
+Implementation lives in ``frontier_engine``; this file only wires tables to
+operators.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from frontier_engine import textops  # noqa: E402
+from frontier_engine.functions import humanize_size_col  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-Q1-style pricing summary at sf0.001 (A2-class
+    aggregation shape — the engine's per-host rollup analogue)."""
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# relational core (SURVEY §2.2/§2.4/§2.5 — F1, A4, A5, A7, J3, A2, windows)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_equals(spark, sf):
+    """F1 equals (main.py:177-178)."""
+    return _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def q_filter_contains(spark, sf):
+    """F1 contains (main.py:179-180): astype(str).str.contains(v)."""
+    d = _t(spark, sf, "documents")
+    return d.filter(F.col("text").cast("string").contains("spark")).select("doc_id", "n_chars")
+
+
+def q_filter_range(spark, sf):
+    """F1 greater_than/less_than (main.py:181-184)."""
+    li = _t(spark, sf, "lineitem")
+    return li.filter((F.col("l_quantity") > 45) & (F.col("l_extendedprice") < 10000)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+def q_sort_topn(spark, sf):
+    """A4 sort (main.py:188-195) + A6 limit with deterministic tiebreak."""
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_dedup_keep_first(spark, sf):
+    """A5 keep-first dedup (main.py:197-206): first = min orderkey per
+    custkey (explicit order key per SURVEY §7.4 determinism rule)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_union_distinct(spark, sf):
+    """A7 union of seed sets (main.py:59-63) + dedup."""
+    a = _t(spark, sf, "orders").select(F.col("o_custkey").alias("key"))
+    b = _t(spark, sf, "customer").select(F.col("c_custkey").alias("key"))
+    return a.union(b).distinct()
+
+
+def q_anti_join_unseen(spark, sf):
+    """J3 left-anti join — the URL-seen core (SURVEY §2.5/§2.6): customers
+    with no orders ≙ candidate keys not in the seen set."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+def q_broadcast_join_rollup(spark, sf):
+    """J5 broadcast dim join (host_policy analogue) + A2 rollup."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_agg_events_by_type(spark, sf):
+    """A2 per-key rollup (web_interface.py:393-409 analogue)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_topk_per_group(spark, sf):
+    """Window-ranked top-k per group — the frontier per-host quota primitive
+    (politeness.rank_and_quota shape)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_sessionize(spark, sf):
+    """Stateful-ish sessionization via lag + cumulative sum (30-min gap);
+    the batch twin of the streaming session operator."""
+    e = _t(spark, sf, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wo))) > 1800
+    sess = F.sum(F.when(F.coalesce(gap, F.lit(True)), 1).otherwise(0)).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def q_hourly_counts(spark, sf):
+    """Event-time hourly windows (batch twin of the streaming window agg)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_json_extract(spark, sf):
+    """E8-adjacent: JSON field extraction from the events props column."""
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    ).filter(F.col("k") > 50)
+
+
+# ---------------------------------------------------------------------------
+# scalar extraction ops with SQL twins (E9/E10/E17/E18)
+# ---------------------------------------------------------------------------
+
+
+def q_clean_text(spark, sf):
+    """E9 (parser.py:209-226) as native expressions."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.trim(F.regexp_replace("text", r"\s+", " ")).alias("cleaned"),
+    ).withColumn("clean_len", F.length("cleaned"))
+
+
+def q_regex_extract(spark, sf):
+    """E10 (parser.py:228-239): findall → count of matches per doc."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+a[a-z]*"), 0)).alias("n_matches"),
+    )
+
+
+def q_content_hash(spark, sf):
+    """E17 (media_downloader.py:181-184): md5[:10] content address."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", F.substring(F.md5("text"), 1, 10).alias("content_hash"))
+
+
+def q_humanize_size(spark, sf):
+    """E18 (storage.py:185-191) over synthetic byte counts."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", humanize_size_col(F.col("n_chars") * 1024).alias("human"))
+
+
+# ---------------------------------------------------------------------------
+# training-data ops (textops)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf):
+    return textops.dedup_exact(_t(spark, sf, "documents"))
+
+
+def q_minhash_signatures(spark, sf):
+    return textops.minhash_signatures(_t(spark, sf, "documents"))
+
+
+def q_lsh_pairs(spark, sf):
+    return textops.dedup_minhash_lsh(_t(spark, sf, "documents"))
+
+
+def q_simhash(spark, sf):
+    return textops.simhash(_t(spark, sf, "documents"))
+
+
+def q_ngram_jaccard(spark, sf):
+    return textops.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), threshold=0.2, max_docs_per_shingle=10**9
+    )
+
+
+def q_ann_cosine_topk(spark, sf):
+    return textops.cosine_topk_bruteforce(_t(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=10)
+
+
+def q_lang_id(spark, sf):
+    return textops.lang_id(_t(spark, sf, "documents"))
+
+
+def q_quality_score(spark, sf):
+    return textops.quality_score(_t(spark, sf, "documents"))
+
+
+def q_token_counts(spark, sf):
+    return textops.token_counts(_t(spark, sf, "documents"))
+
+
+def q_doc_fingerprint(spark, sf):
+    return textops.doc_fingerprint(_t(spark, sf, "documents"))
+
+
+def q_embedding_norms(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+            ),
+            4,
+        ).alias("l2_norm"),
+    )
+
+
+def q_ann_cosine_lsh(spark, sf):
+    """Scale-path ANN (bucketed). No SQL oracle: recall is probabilistic by
+    design; correctness of the baseline is covered by q_ann_cosine_topk."""
+    return textops.cosine_topk_lsh(_t(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=10)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "filter_equals": q_filter_equals,
+        "filter_contains": q_filter_contains,
+        "filter_range": q_filter_range,
+        "sort_topn": q_sort_topn,
+        "dedup_keep_first": q_dedup_keep_first,
+        "union_distinct": q_union_distinct,
+        "anti_join_unseen": q_anti_join_unseen,
+        "broadcast_join_rollup": q_broadcast_join_rollup,
+        "agg_events_by_type": q_agg_events_by_type,
+        "topk_per_group": q_topk_per_group,
+        "sessionize": q_sessionize,
+        "hourly_counts": q_hourly_counts,
+        "json_extract": q_json_extract,
+        "clean_text": q_clean_text,
+        "regex_extract": q_regex_extract,
+        "content_hash": q_content_hash,
+        "humanize_size": q_humanize_size,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_pairs": q_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_lsh": q_ann_cosine_lsh,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_norms": q_embedding_norms,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# SQL-twin building blocks (kept in one place so Spark/SQL stay in sync)
+_TOKS = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+_TOKS_RAW = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+_H60 = "(('0x' || substr(md5({x}), 1, 15))::bigint)"
+_SHINGLES3 = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) "
+    "ELSE [] END"
+)
+_EN_STOP = "('the','and','of','to','a','in','is','it','that','for')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": _SQL_PRICING,
+        "filter_equals": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'"
+        ),
+        "filter_contains": (
+            "SELECT doc_id, n_chars FROM documents WHERE contains(text, 'spark')"
+        ),
+        "filter_range": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem "
+            "WHERE l_quantity > 45 AND l_extendedprice < 10000"
+        ),
+        "sort_topn": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"
+        ),
+        "dedup_keep_first": (
+            "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+            "  SELECT o_custkey, o_orderkey, o_totalprice,"
+            "         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn"
+            "  FROM orders) WHERE rn = 1"
+        ),
+        "union_distinct": (
+            "SELECT DISTINCT key FROM ("
+            "  SELECT o_custkey AS key FROM orders UNION ALL SELECT c_custkey AS key FROM customer)"
+        ),
+        "anti_join_unseen": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        ),
+        "broadcast_join_rollup": (
+            "SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "agg_events_by_type": (
+            "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value, "
+            "round(avg(value), 4) AS avg_value, count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "topk_per_group": (
+            "SELECT o_custkey, rk, o_orderkey, o_totalprice FROM ("
+            "  SELECT o_custkey, o_orderkey, o_totalprice,"
+            "         row_number() OVER (PARTITION BY o_custkey "
+            "           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk"
+            "  FROM orders) WHERE rk <= 3"
+        ),
+        "sessionize": (
+            "WITH g AS ("
+            "  SELECT user_id, ts, event_id,"
+            "    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 OR lag(ts) OVER w IS NULL"
+            "         THEN 1 ELSE 0 END AS new_sess"
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+            " s AS (SELECT user_id,"
+            "    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id"
+            "  FROM g)"
+            "SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events "
+            "FROM s GROUP BY user_id ORDER BY user_id"
+        ),
+        "hourly_counts": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n "
+            "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
+        ),
+        "json_extract": (
+            "SELECT event_id, json_extract_string(props, '$.k')::int AS k "
+            "FROM events WHERE json_extract_string(props, '$.k')::int > 50"
+        ),
+        "clean_text": (
+            "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS cleaned, "
+            "len(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS clean_len FROM documents"
+        ),
+        "regex_extract": (
+            "SELECT doc_id, len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS n_matches "
+            "FROM documents"
+        ),
+        "content_hash": (
+            "SELECT doc_id, substr(md5(text), 1, 10) AS content_hash FROM documents"
+        ),
+        "humanize_size": (
+            "SELECT doc_id, CASE"
+            "  WHEN b < 1024 THEN printf('%.1f', b) || ' B'"
+            "  WHEN b/1024.0 < 1024 THEN printf('%.1f', b/1024.0) || ' KB'"
+            "  WHEN b/1048576.0 < 1024 THEN printf('%.1f', b/1048576.0) || ' MB'"
+            "  WHEN b/1073741824.0 < 1024 THEN printf('%.1f', b/1073741824.0) || ' GB'"
+            "  ELSE printf('%.1f', b/1099511627776.0) || ' TB' END AS human "
+            "FROM (SELECT doc_id, (n_chars * 1024)::double AS b FROM documents)"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS dup_count "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "minhash_signatures": (
+            "WITH t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
+            " sh AS (SELECT doc_id, unnest(" + _SHINGLES3 + ") AS sh FROM t),"
+            " salted AS (SELECT doc_id, unnest(generate_series(0, 7)) AS salt_id, sh FROM sh)"
+            "SELECT doc_id, salt_id, min(" + _H60.format(x="salt_id::varchar || '|' || sh") + ") AS minhash "
+            "FROM salted GROUP BY doc_id, salt_id"
+        ),
+        "lsh_pairs": (
+            "WITH t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
+            " sh AS (SELECT doc_id, unnest(" + _SHINGLES3 + ") AS sh FROM t),"
+            " salted AS (SELECT doc_id, unnest(generate_series(0, 7)) AS salt_id, sh FROM sh),"
+            " sig AS (SELECT doc_id, salt_id, min(" + _H60.format(x="salt_id::varchar || '|' || sh") + ") AS minhash"
+            "   FROM salted GROUP BY doc_id, salt_id),"
+            " bands AS (SELECT doc_id, (salt_id // 2) AS band_id,"
+            "   md5(array_to_string(list_sort(list(minhash::varchar)), ',')) AS band_hash"
+            "   FROM sig GROUP BY doc_id, (salt_id // 2))"
+            "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM bands a JOIN bands b USING (band_id, band_hash) WHERE a.doc_id < b.doc_id"
+        ),
+        "simhash": (
+            "WITH t AS (SELECT doc_id, unnest(" + _TOKS + ") AS tok FROM documents),"
+            " h AS (SELECT doc_id, " + _H60.format(x="tok") + " AS h FROM t),"
+            " b AS (SELECT doc_id, unnest(generate_series(0, 15)) AS bit, h FROM h),"
+            " c AS (SELECT doc_id, bit, sum(((h >> bit) & 1) * 2 - 1) AS s FROM b GROUP BY doc_id, bit)"
+            "SELECT doc_id, sum(CASE WHEN s > 0 THEN 1 ELSE 0 END * power(2, bit))::bigint AS simhash "
+            "FROM c GROUP BY doc_id"
+        ),
+        "ngram_jaccard": (
+            "WITH t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
+            " sh AS (SELECT DISTINCT doc_id, unnest(" + _SHINGLES3 + ") AS sh FROM t),"
+            " sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),"
+            " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter"
+            "   FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)"
+            "SELECT doc_a, doc_b, round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2"
+        ),
+        "ann_cosine_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2,3,4)),"
+            " scored AS (SELECT query_id, e.vec_id AS cand_id,"
+            "   round(list_sum(list_transform(list_zip(qe, e.embedding),"
+            "                  p -> p[1]::double * p[2]::double))"
+            "     / (sqrt(list_sum(list_transform(qe, x -> x::double * x::double)))"
+            "      * sqrt(list_sum(list_transform(e.embedding, x -> x::double * x::double)))), 6) AS cosine"
+            "   FROM q, embeddings e WHERE e.vec_id <> query_id)"
+            "SELECT query_id, cand_id, cosine, rank FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank"
+            "  FROM scored) WHERE rank <= 10"
+        ),
+        "lang_id": (
+            "WITH t AS (SELECT doc_id, unnest(" + _TOKS + ") AS tok FROM documents),"
+            " c AS (SELECT doc_id, count(*) AS n_tokens,"
+            "   sum(CASE WHEN tok IN ('der','die','und','das','ist','ein','eine','zu','mit','von') THEN 1 ELSE 0 END) AS hits_de,"
+            "   sum(CASE WHEN tok IN " + _EN_STOP + " THEN 1 ELSE 0 END) AS hits_en,"
+            "   sum(CASE WHEN tok IN ('el','la','y','de','un','una','es','que','por','con') THEN 1 ELSE 0 END) AS hits_es,"
+            "   sum(CASE WHEN tok IN ('le','la','et','de','un','une','est','que','pour','dans') THEN 1 ELSE 0 END) AS hits_fr"
+            "   FROM t GROUP BY doc_id)"
+            "SELECT doc_id, n_tokens, CASE"
+            "  WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'unknown'"
+            "  WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'"
+            "  WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'"
+            "  WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'"
+            "  ELSE 'fr' END AS pred_lang "
+            "FROM c"
+        ),
+        "quality_score": (
+            "WITH t AS (SELECT doc_id, text, " + _TOKS + " AS toks FROM documents),"
+            " f AS (SELECT doc_id, len(toks) AS n_tokens,"
+            "   round(list_sum(list_transform(toks, x -> len(x)))::double / greatest(len(toks), 1), 4) AS mean_token_len,"
+            "   round(len(list_filter(toks, x -> x IN " + _EN_STOP + "))::double / greatest(len(toks), 1), 4) AS stopword_ratio,"
+            "   round(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double / greatest(len(text), 1), 4) AS alpha_ratio"
+            "   FROM t)"
+            "SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, alpha_ratio,"
+            " ((least(n_tokens, 100) * 40 + round(stopword_ratio * 10000)::bigint * 3"
+            "   + round(alpha_ratio * 10000)::bigint * 3) // 10)::bigint AS quality_permille "
+            "FROM f"
+        ),
+        "token_counts": (
+            "SELECT doc_id, len(" + _TOKS_RAW + ") AS ws_tokens,"
+            " len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\\sA-Za-z0-9]')) AS bpe_units "
+            "FROM documents"
+        ),
+        "doc_fingerprint": (
+            "WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM documents)"
+            "SELECT doc_id, md5(norm) AS fingerprint, substr(md5(norm), 1, 10) AS short_hash FROM n"
+        ),
+        "embedding_norms": (
+            "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> x::double * x::double))), 4) AS l2_norm "
+            "FROM embeddings"
+        ),
+        # ann_cosine_lsh: intentionally no oracle (probabilistic recall)
+    }

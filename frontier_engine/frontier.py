@@ -25,6 +25,7 @@ order.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -59,6 +60,7 @@ class CrawlConfig:
     salt_buckets: int = 8
     n_partitions: int = 32
     checkpoint_dir: str | None = None
+    bloom_bits_per_shard: int = 1 << 20  # 128 KiB/shard ≈ 100k keys at 1% fp
     extra: dict = field(default_factory=dict)
 
 
@@ -68,14 +70,21 @@ FRONTIER_COLS = [
 ]
 
 
-def seeds_to_frontier(spark: SparkSession, seed_urls: list[str]) -> DataFrame:
-    """Seed list → frontier rows, keep-first dedup by canonical key (A5).
+def seeds_to_frontier(spark: SparkSession, seed_urls) -> DataFrame:
+    """Seeds → frontier rows, keep-first dedup by canonical key (A5).
 
     Mirrors cli.py:77-84 + main.py:197-206: ordering comes from the seed
     file position; duplicate canonical URLs keep the first occurrence.
+
+    ``seed_urls``: list[str] (small, reference-parity path) OR a DataFrame
+    with columns (seed_index long, url string) — the scale path: a 10^10
+    frontier ingests from storage, never through driver pickling.
     """
-    rows = [(i, u) for i, u in enumerate(seed_urls)]
-    df = spark.createDataFrame(rows, "seed_index long, url string")
+    if isinstance(seed_urls, DataFrame):
+        df = seed_urls.select("seed_index", "url")
+    else:
+        rows = [(i, u) for i, u in enumerate(seed_urls)]
+        df = spark.createDataFrame(rows, "seed_index long, url string")
     df = df.filter(valid_url_col(F.col("url")))  # F2 gate
     df = df.withColumn("url_key", surt_key_udf("url")).filter(F.col("url_key").isNotNull())
     w = Window.partitionBy("url_key").orderBy("seed_index")
@@ -101,6 +110,7 @@ class CrawlResult:
     frontier: DataFrame
     metrics: DataFrame
     rounds: int
+    timings: list | None = None  # [(round, phase, seconds)] when profiling
 
 
 def run_crawl(
@@ -119,30 +129,55 @@ def run_crawl(
         [], "round int, partition_id int, host string, fetched long, failed long, deduped long, bytes long, snapshot_id string"
     )
     start_round = 0
+    # per-round DELTAS — pages and seen are append-only (like production
+    # Iceberg appends); the full seen view is the union of disjoint deltas,
+    # compacted every COMPACT_EVERY rounds to bound plan width
+    pages_parts: list[DataFrame] = []
+    seen_parts: list[DataFrame] = []
     if store is not None and (last := store.latest_round()) is not None:
         frontier = store.read(last, "frontier")
-        seen_df = store.read(last, "seen")
-        pages_out = store.read(last, "pages")
+        pages_parts = [store.read(r, "pages") for r in range(last + 1) if store.has(r, "pages")]
+        seen_parts = [store.read(r, "seen") for r in range(last + 1) if store.has(r, "seen")]
         metrics_df = store.read(last, "metrics")
         start_round = last + 1
     else:
-        frontier = seeds_to_frontier(spark, seed_urls)
-        seen_df = empty_seen
-        pages_out = None
+        # eager checkpoint: the seed frontier is referenced by several
+        # actions per round — without this every action re-runs the seed
+        # ingest (createDataFrame + canonicalize UDF + dedup window)
+        frontier = seeds_to_frontier(spark, seed_urls).localCheckpoint(eager=True)
         metrics_df = empty_metrics
+
+    def seen_view() -> DataFrame:
+        if not seen_parts:
+            return empty_seen
+        out = seen_parts[0]
+        for p in seen_parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     now = start_round * cfg.round_seconds
     rounds_run = 0
+    timings: list = []
+
+    def timed(phase: str, rnd: int, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings.append((rnd, phase, round(time.perf_counter() - t0, 3)))
+        return out
+
     for round_no in range(start_round, cfg.max_rounds):
+        seen_df = seen_view()
         pending = frontier.filter((F.col("status").isin("pending", "retry")) & (F.col("not_before") <= F.lit(now)))
-        if pending.limit(1).count() == 0:
+        if timed("pending_check", round_no, lambda: pending.limit(1).count()) == 0:
             break
         rounds_run += 1
 
         # 2. URL-seen gate — exact anti-join, optional bloom pre-filter
         shards = None
         if cfg.use_bloom:
-            shards = seenmod.build_bloom_shards(seen_df, n_shards=cfg.bloom_shards)
+            shards = seenmod.build_bloom_shards(
+                seen_df, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits_per_shard
+            )
         unseen = seenmod.filter_unseen(
             pending, seen_df, use_bloom=cfg.use_bloom, shards=shards, n_shards=cfg.bloom_shards
         )
@@ -158,11 +193,16 @@ def run_crawl(
             cand = allowed
         batch = rank_and_quota(cand, cfg.round_seconds, cfg.max_per_host_per_round)
 
-        # 5. salt the hot hosts across tasks
-        batch = salted_repartition(batch, cfg.n_partitions, cfg.salt_buckets)
+        # 5. salt the hot hosts across tasks; persist — batch feeds both the
+        # fetch and the not_selected anti-join (else the whole candidate
+        # pipeline incl. bloom probe and rank window runs twice)
+        batch = salted_repartition(batch, cfg.n_partitions, cfg.salt_buckets).persist()
 
         # 6-7. fetch + extract
-        fetched = fetch_via_pages_table(batch, pages_corpus)
+        # persist: fetched feeds the ok/extract path, the retry path, the
+        # exhausted path and metrics — without it each branch recomputes the
+        # whole candidate pipeline (bloom probe + joins + window)
+        fetched = fetch_via_pages_table(batch, pages_corpus).persist()
         ok = fetched.filter(F.col("fetch_status") == "fetched")
         extracted = with_extractions(
             ok.select(
@@ -176,14 +216,17 @@ def run_crawl(
         # cache: extracted feeds pages-out, seen-update, link expansion, metrics
         extracted.persist()
 
-        # 8a. seen update: fetched rows + exhausted failures are 'seen'
+        # 8a. seen update: fetched rows + exhausted failures are 'seen'.
+        # new_seen keys are disjoint from prior deltas by construction (they
+        # survived filter_unseen), so appending keeps the view duplicate-free
         failed = fetched.filter(F.col("fetch_status") == "failed")
         exhausted = failed.filter(F.col("attempt") + 1 >= cfg.max_attempts)
         new_seen = (
             extracted.select("url_key", "url", "content_hash")
             .unionByName(exhausted.select("url_key", "url", F.lit(None).cast(StringType()).alias("content_hash")))
+            .dropDuplicates(["url_key"])
         )
-        seen_df = seen_df.unionByName(new_seen).dropDuplicates(["url_key"])
+        seen_df = seen_df.unionByName(new_seen)
 
         # 8b. frontier update: mark fetched, schedule retries, enqueue links
         fetched_keys = extracted.select("url_key")
@@ -216,44 +259,58 @@ def run_crawl(
             fresh = discovered.join(known.distinct(), "url_key", "left_anti")
             next_frontier = next_frontier.unionByName(fresh.select(*FRONTIER_COLS))
 
-        # 8c. pages out
+        # 8c. pages out — per-round DELTA, never a cumulative rewrite
         page_rows = extracted.select(
             "url", "url_key", "host", "depth", "round", "host_rank", "slot_ts", "fetch_ts",
             "seed_index", "html", F.col("extracted_text").alias("text"),
             "links", "images", "tables", "page_metadata", "json_ld", "content_hash",
         )
-        pages_out = page_rows if pages_out is None else pages_out.unionByName(page_rows)
 
         # 8d. metrics + checkpoint
         m = round_metrics(fetched, round_no, deduped_count=0, snapshot_id=None)
         metrics_df = metrics_df.unionByName(m)
 
         if store is not None:
-            snap = store.commit_round(
+            timed(
+                "commit",
                 round_no,
-                {"frontier": next_frontier, "seen": seen_df, "pages": pages_out, "metrics": metrics_df},
-                extra={"virtual_now": now},
+                lambda: store.commit_round(
+                    round_no,
+                    {"frontier": next_frontier, "seen": new_seen, "pages": page_rows, "metrics": metrics_df},
+                    extra={"virtual_now": now},
+                ),
             )
             # re-read from the snapshot: truncates lineage, bounds plan growth
             next_frontier = store.read(round_no, "frontier")
-            seen_df = store.read(round_no, "seen")
-            pages_out = store.read(round_no, "pages")
+            seen_parts.append(store.read(round_no, "seen"))
+            pages_parts.append(store.read(round_no, "pages"))
             metrics_df = store.read(round_no, "metrics")
-            _ = snap
         else:
             # bound logical-plan growth across rounds without a store
-            next_frontier = next_frontier.localCheckpoint(eager=True)
-            seen_df = seen_df.localCheckpoint(eager=True)
-            pages_out = pages_out.localCheckpoint(eager=True)
-            metrics_df = metrics_df.localCheckpoint(eager=True)
+            seen_parts.append(timed("ckpt_seen", round_no, lambda: new_seen.localCheckpoint(eager=True)))
+            next_frontier = timed("ckpt_frontier", round_no, lambda: next_frontier.localCheckpoint(eager=True))
+            pages_parts.append(timed("ckpt_pages", round_no, lambda: page_rows.localCheckpoint(eager=True)))
+            metrics_df = timed("ckpt_metrics", round_no, lambda: metrics_df.localCheckpoint(eager=True))
+
+        if len(seen_parts) >= 16:  # compact: bound union width across rounds
+            seen_parts = [seen_view().localCheckpoint(eager=True)]
 
         extracted.unpersist()
+        fetched.unpersist()
+        batch.unpersist()
         frontier = next_frontier
         now += cfg.round_seconds
 
-    if pages_out is None:
+    if pages_parts:
+        pages_out = pages_parts[0]
+        for p in pages_parts[1:]:
+            pages_out = pages_out.unionByName(p)
+    else:
         pages_out = spark.createDataFrame([], _EMPTY_PAGES_DDL)
-    return CrawlResult(pages=pages_out, seen=seen_df, frontier=frontier, metrics=metrics_df, rounds=rounds_run)
+    return CrawlResult(
+        pages=pages_out, seen=seen_view(), frontier=frontier, metrics=metrics_df,
+        rounds=rounds_run, timings=timings,
+    )
 
 
 _EMPTY_PAGES_DDL = (

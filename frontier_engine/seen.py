@@ -74,18 +74,23 @@ def with_shard_id(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
 
 def build_bloom_shards(
     seen: DataFrame, key_col: str = "url_key", n_shards: int = 64, fp_rate: float = 0.01,
-    expected_per_shard: int | None = None,
+    expected_per_shard: int | None = None, m_bits: int | None = None,
 ) -> DataFrame:
     """(shard_id, n_keys, bitmap) — one row per non-empty shard.
 
     Build = one shuffle on shard_id, then a vectorized per-group bitmap
     fill.  Incremental growth: union new keys, rebuild only the shards they
     land in (callers diff on shard_id), or OR-merge with ``merge_shards``.
+
+    Size shards by capacity (``m_bits`` directly or ``expected_per_shard``)
+    — counting the seen set to autosize costs a full extra action per round;
+    production sizes by the frontier budget instead.
     """
-    if expected_per_shard is None:
-        total = seen.count()
-        expected_per_shard = max(1024, int(total / n_shards * 1.5))
-    m_bits = bits_for(expected_per_shard, fp_rate)
+    if m_bits is None:
+        if expected_per_shard is None:
+            total = seen.count()
+            expected_per_shard = max(1024, int(total / n_shards * 1.5))
+        m_bits = bits_for(expected_per_shard, fp_rate)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         bitmap = np.zeros(m_bits // 8, dtype=np.uint8)

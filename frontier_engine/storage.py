@@ -99,6 +99,12 @@ class SnapshotStore:
     def read(self, round_no: int, table: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._round_dir(round_no), table))
 
+    def has(self, round_no: int, table: str) -> bool:
+        d = os.path.join(self.root, "rounds", f"round_{round_no:05d}", table)
+        return os.path.isdir(d) and os.path.exists(
+            os.path.join(self.root, "rounds", f"round_{round_no:05d}", "manifest.json")
+        )
+
     def _round_dir(self, round_no: int) -> str:
         d = os.path.join(self.root, "rounds", f"round_{round_no:05d}")
         os.makedirs(d, exist_ok=True)

@@ -147,12 +147,15 @@ def page_url(i: int, host: str) -> str:
     return f"https://{host}/pages/p{path_i}.html"
 
 
-def gen_pages(n_rows: int, n_hosts: int = 20, seed: int = 42, hot_frac: float = 0.3):
+def gen_pages(n_rows: int, n_hosts: int = 20, seed: int = 42, hot_frac: float = 0.3,
+              with_text: bool = True):
     """Rows of the input_hint `pages` table + golden oracle columns.
 
     Returns list of dicts with keys: url, warc_ts, html (bytes), text, lang
     — `text` is the REFERENCE-semantics extraction of `html`
-    (parser.py:41-52), i.e. the byte-identical target.
+    (parser.py:41-52), i.e. the byte-identical target.  ``with_text=False``
+    skips the (driver-side, sequential) oracle extraction for benchmark
+    corpora where only the engine runs it.
     """
     rng = random.Random(seed)
     rows = []
@@ -165,7 +168,7 @@ def gen_pages(n_rows: int, n_hosts: int = 20, seed: int = 42, hot_frac: float = 
                 "url": url,
                 "warc_ts": BASE_EPOCH + dt.timedelta(seconds=37 * i),
                 "html": html.encode("utf-8"),
-                "text": refsem.extract_text(html),
+                "text": refsem.extract_text(html) if with_text else None,
                 "lang": LANGS[i % len(LANGS)],
             }
         )

