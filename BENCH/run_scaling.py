@@ -95,14 +95,18 @@ from frontier_engine.schema import PAGES
 import pyspark.sql.functions as F
 spark = get_spark("local[16]", extra_conf={{"spark.ui.showConsoleProgress": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
-rows = synth.gen_pages({pages}, with_text=False)
-df = spark.createDataFrame(rows, schema=PAGES)
-df.write.mode("overwrite").parquet({corpus_dir!r})
+mode = "overwrite"
+for chunk in synth.iter_pages_chunks({pages}):
+    spark.createDataFrame(chunk, schema=PAGES).repartition(8).write.mode(mode).parquet({corpus_dir!r})
+    mode = "append"
 corpus = spark.read.parquet({corpus_dir!r})
+from pyspark.sql.window import Window
 seeds = (corpus.select("url").distinct()
-         .withColumn("seed_index", F.row_number().over(
-             __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("url")).cast("long") - 1))
-seeds.select("seed_index", "url").write.mode("overwrite").parquet({seeds_dir!r})
+         .withColumn("seed_index", F.row_number().over(Window.orderBy("url")).cast("long") - 1))
+# the global-window index collapses to one partition — repartition before
+# writing so the seed INGEST reads in parallel (a 1-file seed list would
+# serialize the canonicalize UDF at any cluster size)
+seeds.select("seed_index", "url").repartition(32).write.mode("overwrite").parquet({seeds_dir!r})
 spark.stop()
 """
     subprocess.run([sys.executable, "-c", script], check=True, timeout=2400, capture_output=True)

@@ -39,22 +39,32 @@ FETCH_COLS = [
 ]
 
 
-def fetch_via_pages_table(candidates: DataFrame, pages: DataFrame) -> DataFrame:
+def fetch_via_pages_table(
+    candidates: DataFrame, pages: DataFrame, broadcast_candidates: bool = True
+) -> DataFrame:
     """Simulated fetch: left join on url against the pages corpus.
 
-    Join strategy note (scale): candidates ≪ pages at 100 TB, and both are
-    keyed by url — a shuffled hash join on url with AQE deciding broadcast
-    when the round's candidate set is small. We repartition neither side
-    here; Catalyst/AQE pick the physical join.
+    Join strategy (the 100 TB plan): the per-round candidate set is bounded
+    by the politeness quota and is orders of magnitude smaller than the
+    corpus, so the candidate URL list is BROADCAST and the corpus is
+    semi-joined with a plain scan — the corpus is never shuffled (shuffling
+    100 TB of html per round would dominate everything).  Only the matching
+    captures (≈ candidate count) reach the earliest-capture dedup window and
+    the final left join.  Set ``broadcast_candidates=False`` to fall back to
+    a shuffled join (candidate sets beyond driver broadcast limits).
     """
     from pyspark.sql import Window
 
+    cand_urls = candidates.select("url").distinct()
+    if broadcast_candidates:
+        cand_urls = F.broadcast(cand_urls)
+    matches = pages.select("url", "html", "warc_ts").join(cand_urls, "url")
     # the corpus may hold several captures of one url (re-crawls); serve the
-    # earliest capture deterministically so the join never fans out
+    # earliest capture deterministically so the join never fans out — the
+    # window runs on the MATCHES only, never the full corpus
     w = Window.partitionBy("url").orderBy("warc_ts")
     body = (
-        pages.select(F.col("url"), F.col("html"), F.col("warc_ts"))
-        .withColumn("__rn", F.row_number().over(w))
+        matches.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("url", "html", F.col("warc_ts").alias("fetched_warc_ts"))
     )

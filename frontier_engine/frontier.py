@@ -129,6 +129,7 @@ def run_crawl(
         [], "round int, partition_id int, host string, fetched long, failed long, deduped long, bytes long, snapshot_id string"
     )
     start_round = 0
+    seed_ingest_sec = None
     # per-round DELTAS — pages and seen are append-only (like production
     # Iceberg appends); the full seen view is the union of disjoint deltas,
     # compacted every COMPACT_EVERY rounds to bound plan width
@@ -144,7 +145,9 @@ def run_crawl(
         # eager checkpoint: the seed frontier is referenced by several
         # actions per round — without this every action re-runs the seed
         # ingest (createDataFrame + canonicalize UDF + dedup window)
+        t0 = time.perf_counter()
         frontier = seeds_to_frontier(spark, seed_urls).localCheckpoint(eager=True)
+        seed_ingest_sec = round(time.perf_counter() - t0, 3)
         metrics_df = empty_metrics
 
     def seen_view() -> DataFrame:
@@ -158,6 +161,8 @@ def run_crawl(
     now = start_round * cfg.round_seconds
     rounds_run = 0
     timings: list = []
+    if seed_ingest_sec is not None:
+        timings.append((start_round, "seed_ingest", seed_ingest_sec))
 
     def timed(phase: str, rnd: int, fn):
         t0 = time.perf_counter()
@@ -213,8 +218,11 @@ def run_crawl(
             "round", F.lit(round_no)
         ).withColumn("fetch_ts", F.lit(now) + F.col("slot_ts"))
 
-        # cache: extracted feeds pages-out, seen-update, link expansion, metrics
-        extracted.persist()
+        # ONE materialization of the heavy (html + structs) data per round:
+        # the eager checkpoint serves pages-out, seen-update, link expansion
+        # and metrics directly — no second persist/checkpoint of the same
+        # bytes (was the dominant non-scaling cost per round)
+        extracted = timed("extract_ckpt", round_no, lambda: extracted.localCheckpoint(eager=True))
 
         # 8a. seen update: fetched rows + exhausted failures are 'seen'.
         # new_seen keys are disjoint from prior deltas by construction (they
@@ -286,16 +294,16 @@ def run_crawl(
             pages_parts.append(store.read(round_no, "pages"))
             metrics_df = store.read(round_no, "metrics")
         else:
-            # bound logical-plan growth across rounds without a store
+            # small-state checkpoints only — page_rows is a projection of the
+            # already-checkpointed `extracted`, no second write of the bytes
             seen_parts.append(timed("ckpt_seen", round_no, lambda: new_seen.localCheckpoint(eager=True)))
             next_frontier = timed("ckpt_frontier", round_no, lambda: next_frontier.localCheckpoint(eager=True))
-            pages_parts.append(timed("ckpt_pages", round_no, lambda: page_rows.localCheckpoint(eager=True)))
+            pages_parts.append(page_rows)
             metrics_df = timed("ckpt_metrics", round_no, lambda: metrics_df.localCheckpoint(eager=True))
 
         if len(seen_parts) >= 16:  # compact: bound union width across rounds
             seen_parts = [seen_view().localCheckpoint(eager=True)]
 
-        extracted.unpersist()
         fetched.unpersist()
         batch.unpersist()
         frontier = next_frontier

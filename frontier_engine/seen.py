@@ -63,6 +63,23 @@ def _bit_positions(key: str, m_bits: int) -> np.ndarray:
     return np.array([(h1 + i * h2) % m_bits for i in range(K_HASHES)], dtype=np.int64)
 
 
+_I_RANGE = np.arange(K_HASHES, dtype=np.uint64)
+
+
+def _bit_positions_batch(keys, m_bits: int) -> np.ndarray:
+    """(n, K_HASHES) position matrix — one vectorized broadcast instead of a
+    numpy-array build per key (the per-key path was the probe hot spot)."""
+    n = len(keys)
+    h1 = np.empty(n, dtype=np.uint64)
+    h2 = np.empty(n, dtype=np.uint64)
+    blake = hashlib.blake2b
+    for j, key in enumerate(keys):
+        d = blake(key.encode("utf-8"), digest_size=16).digest()
+        h1[j] = int.from_bytes(d[:8], "little")
+        h2[j] = int.from_bytes(d[8:], "little") | 1
+    return ((h1[:, None] + _I_RANGE[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
 def bits_for(expected_keys_per_shard: int, fp_rate: float = 0.01) -> int:
     m = int(-expected_keys_per_shard * math.log(fp_rate) / (math.log(2) ** 2))
     return max(1024, (m + 7) // 8 * 8)  # byte-aligned
@@ -95,8 +112,8 @@ def build_bloom_shards(
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
         keys = pdf[key_col].dropna()
-        for key in keys:
-            pos = _bit_positions(key, m_bits)
+        if len(keys):
+            pos = _bit_positions_batch(list(keys), m_bits).ravel()
             # unbuffered |= — two hash positions may share a byte; plain
             # fancy-assignment would keep only one of the bits
             np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
@@ -153,13 +170,13 @@ def bloom_maybe_seen(candidates: DataFrame, shards: DataFrame, key_col: str = "u
             return cand_pdf.assign(maybe_seen=False)
         bitmap = np.frombuffer(shard_pdf["bitmap"].iloc[0], dtype=np.uint8)
         m_bits = len(bitmap) * 8
-        flags = []
-        for key in cand_pdf[key_col]:
-            if key is None:
-                flags.append(False)
-                continue
-            pos = _bit_positions(key, m_bits)
-            flags.append(bool(np.all(bitmap[pos >> 3] & (1 << (pos & 7)))))
+        keys = cand_pdf[key_col]
+        mask = keys.notna().to_numpy()
+        flags = np.zeros(len(keys), dtype=bool)
+        if mask.any():
+            pos = _bit_positions_batch(list(keys[mask]), m_bits)  # (n, K)
+            hit = (bitmap[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+            flags[mask] = hit.all(axis=1)
         return cand_pdf.assign(maybe_seen=flags)
 
     return (

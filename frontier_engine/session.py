@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", ARROW_BATCH)
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4.1's ChecksumCheckpointFileManager deadlocks its awaitResult
+        # under local-mode stateful streaming (threads interrupted mid-close,
+        # commit retried forever) — checksum of checkpoint files off
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

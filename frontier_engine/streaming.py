@@ -1,0 +1,154 @@
+"""Structured Streaming operators.
+
+The reference is a sequential batch loop with no streaming surface
+(SURVEY §2.9) — these are the engine's extensions for continuous operation
+of the same pipeline shapes:
+
+* ``stream_pages_extract`` — the fetch+extract stage as a stream: new page
+  files appearing under a directory are extracted incrementally (the
+  production shape: WARC drops land in object storage, extraction keeps up).
+* ``stream_hourly_counts`` — event-time windowed aggregation with a
+  watermark (late-data bound) — the streaming twin of q_hourly_counts.
+* ``stream_sessionize`` — stateful sessionization via
+  ``applyInPandasWithState`` (event-time-gap session close) — the streaming
+  twin of q_sessionize.
+
+All are testable offline with ``trigger(availableNow=True)`` + file sources;
+tests drive them through a temp checkpoint dir.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from frontier_engine.extract import with_extractions
+from frontier_engine.schema import PAGES
+
+
+def stream_pages_extract(spark: SparkSession, pages_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming fetch+extract: watch a directory of pages parquet, emit
+    extraction columns incrementally.  mapInPandas works unchanged on
+    streaming DataFrames — the same one-pass UDF serves batch and stream."""
+    reader = spark.readStream.schema(PAGES)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(pages_dir)
+    return with_extractions(pages)
+
+
+def stream_hourly_counts(spark: SparkSession, events_dir: str, schema, watermark: str = "2 hours") -> DataFrame:
+    """Event-time tumbling windows with a watermark: counts per
+    (hour window, event_type); late rows beyond the watermark are dropped
+    (the late-data contract the batch twin doesn't need)."""
+    ev = spark.readStream.schema(schema).parquet(events_dir)
+    # watermarks require TIMESTAMP (tz-aware); parquet NTZ timestamps cast up
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n")
+    )
+
+
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_SESSION_STATE = StructType(
+    [
+        StructField("start_ns", LongType()),
+        StructField("last_ns", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+SESSION_GAP_NS = 30 * 60 * 1_000_000_000
+
+
+def _sessionize_fn(key, pdfs, state: GroupState):
+    """Stateful session tracker: emits a row per CLOSED session (event-time
+    gap > 30 min).  The trailing open session stays in state until a later
+    batch closes it — at-least-one-more-batch semantics, standard for
+    gap-based sessionization without event-time timeouts."""
+    (user_id,) = key
+    ts_ns: list[int] = []
+    for pdf in pdfs:
+        ts_ns.extend(int(t.value) for t in pd.to_datetime(pdf["ts"]))
+    ts_ns.sort()
+    if not ts_ns:
+        return
+    if state.exists:
+        start_ns, last_ns, n = state.get
+    else:
+        start_ns, last_ns, n = ts_ns[0], ts_ns[0], 0
+    out_rows = []
+    for t in ts_ns:
+        if n > 0 and t - last_ns > SESSION_GAP_NS:
+            out_rows.append((user_id, pd.Timestamp(start_ns), n))
+            start_ns, n = t, 0
+        last_ns = t
+        n += 1
+    state.update((start_ns, last_ns, n))
+    if out_rows:
+        yield pd.DataFrame(out_rows, columns=["user_id", "session_start", "n_events"])
+
+
+def stream_sessionize(spark: SparkSession, events_dir: str, schema) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): 30-min-gap
+    sessions per user, closed sessions emitted as they complete."""
+    ev = spark.readStream.schema(schema).parquet(events_dir)
+    return (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(sdf: DataFrame, name: str, checkpoint: str, output_mode: str = "append"):
+    """Drive a streaming DF with availableNow into an in-memory table;
+    returns after the trigger drains (test/offline harness).  NOTE: the
+    memory sink cannot RESUME from a checkpoint — use run_to_parquet for
+    incremental multi-trigger scenarios."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_to_parquet(sdf: DataFrame, out_dir: str, checkpoint: str):
+    """availableNow into a parquet sink — supports checkpoint RESUME, so
+    repeated invocations process only newly-arrived files (exactly-once)."""
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -175,6 +175,31 @@ def gen_pages(n_rows: int, n_hosts: int = 20, seed: int = 42, hot_frac: float = 
     return rows
 
 
+def iter_pages_chunks(n_rows: int, chunk: int = 100_000, n_hosts: int = 20, seed: int = 42,
+                      hot_frac: float = 0.3):
+    """Chunked generator for LARGE corpora (bench/scaling only): rows are a
+    pure function of (seed, i) — per-row RNG, so chunking never changes
+    content — and no golden text (engine-only extraction).  Parity fixtures
+    keep using gen_pages (sequential RNG, golden text)."""
+    for lo in range(0, n_rows, chunk):
+        rows = []
+        for i in range(lo, min(lo + chunk, n_rows)):
+            rng = random.Random(seed * 1_000_003 + i)
+            host = _host(i, n_hosts, hot_frac)
+            url = page_url(i, host)
+            html = build_html(i, url, host, rng, n_rows=n_rows)
+            rows.append(
+                {
+                    "url": url,
+                    "warc_ts": BASE_EPOCH + dt.timedelta(seconds=37 * i),
+                    "html": html.encode("utf-8"),
+                    "text": None,
+                    "lang": LANGS[i % len(LANGS)],
+                }
+            )
+        yield rows
+
+
 def gen_seed_lines(n_pages: int, n_seeds: int, seed: int = 43) -> list[str]:
     """Seed-FILE lines (cli.py:77-84 semantics): URLs of existing pages in a
     shuffled order, plus blank lines, '#' comments, duplicates, and a few

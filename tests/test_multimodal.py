@@ -1,0 +1,55 @@
+"""Multimodal plumbing tests: real Spark schema/batching, stubbed codecs."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from frontier_engine import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return spark.createDataFrame(mm.gen_media(300), schema=mm.MEDIA_SCHEMA).cache()
+
+
+def test_features_shape_and_determinism(spark, media):
+    f1 = mm.extract_media_features(media).orderBy("media_id").collect()
+    f2 = mm.extract_media_features(media, batch_partitions=7).orderBy("media_id").collect()
+    assert len(f1) == 300
+    assert f1 == f2  # partitioning must not change results
+    imgs = [r for r in f1 if r.width is not None and r.n_frames == 1]
+    assert imgs and all(16 <= r.width <= 255 for r in imgs)
+    assert all(len(r.feature) == mm.FEATURE_DIM * 4 for r in f1 if r.feature)
+
+
+def test_content_hash_matches_reference_semantics(media, spark):
+    import hashlib
+
+    feats = {r.media_id: r.content_hash for r in mm.extract_media_features(media).collect()}
+    for row in media.limit(10).collect():
+        assert feats[row.media_id] == hashlib.md5(bytes(row.content)).hexdigest()[:10]
+
+
+def test_media_dedup(spark, media):
+    feats = mm.extract_media_features(media)
+    dd = mm.media_dedup(feats)
+    # gen_media reuses content for the last ~10% of ids → dup_count > 1 somewhere
+    assert dd.filter(F.col("dup_count") > 1).count() > 0
+    total = dd.agg(F.sum("dup_count")).collect()[0][0]
+    assert total == 300
+
+
+def test_unpack_feature_vec(spark, media):
+    feats = mm.unpack_feature_col(mm.extract_media_features(media))
+    row = feats.filter(F.col("feature").isNotNull()).limit(1).collect()[0]
+    assert len(row.feature_vec) == mm.FEATURE_DIM
+    norm = sum(x * x for x in row.feature_vec) ** 0.5
+    assert norm == pytest.approx(1.0, abs=1e-3)
+
+
+def test_null_content_isolated(spark):
+    rows = mm.gen_media(5)
+    rows[2]["content"] = None
+    df = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.extract_media_features(df).collect()}
+    assert out[2].content_hash is None and out[2].feature is None  # P5: row, not exception
+    assert out[0].content_hash is not None
