@@ -84,15 +84,17 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3) -
     followed by one partial-aggregating groupBy — no shuffle of raw text.
     """
     ex = docs.select("doc_id", F.explode(shingles_col(F.col("text"), shingle_n)).alias("sh"))
-    salted = ex.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("salt_id"),
-        F.col("sh"),
-    )
-    return (
-        salted.groupBy("doc_id", "salt_id")
-        .agg(F.min(_h60(F.concat_ws("|", F.col("salt_id").cast("string"), F.col("sh")))).alias("minhash"))
-    )
+    # one aggregate per salt instead of a salt-explode: 8x fewer shuffled
+    # rows (the salts differ only in a literal prefix of the hashed string)
+    aggs = [
+        F.min(_h60(F.concat_ws("|", F.lit(str(s)), F.col("sh")))).alias(f"m{s}")
+        for s in range(n_hashes)
+    ]
+    wide = ex.groupBy("doc_id").agg(*aggs)
+    stack = ", ".join(f"{s}, m{s}" for s in range(n_hashes))
+    return wide.selectExpr(
+        "doc_id", f"stack({n_hashes}, {stack}) as (salt_id, minhash)"
+    ).select("doc_id", F.col("salt_id").cast("int"), "minhash")
 
 
 def dedup_minhash_lsh(
