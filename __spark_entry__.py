@@ -205,6 +205,49 @@ def q_hourly_counts(spark, sf):
     )
 
 
+def q_rollup_revenue(spark, sf):
+    """Grouping-sets/rollup (SURVEY §2.9 — absent in the reference,
+    Catalyst-native here): revenue by (status, priority) with subtotals."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def q_except_keys(spark, sf):
+    """Set op EXCEPT (§2.9): customers with orders but none in 'F' status."""
+    o = _t(spark, sf, "orders")
+    all_keys = o.select(F.col("o_custkey").alias("key"))
+    f_keys = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("key"))
+    return all_keys.distinct().exceptAll(f_keys.distinct())
+
+
+def q_intersect_keys(spark, sf):
+    """Set op INTERSECT (§2.9): order keys present in lineitem."""
+    o = _t(spark, sf, "orders").select(F.col("o_orderkey").alias("key"))
+    li = _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("key"))
+    return o.intersect(li)
+
+
+def q_date_arithmetic(spark, sf):
+    """Date arithmetic (§2.9): ship lag in days per order line."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return (
+        j.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("ship_lag_days"),
+            F.year("l_shipdate").alias("ship_year"),
+            F.month("l_shipdate").alias("ship_month"),
+        )
+        .filter(F.col("ship_lag_days") >= 0)
+    )
+
+
 def q_json_extract(spark, sf):
     """E8-adjacent: JSON field extraction from the events props column."""
     e = _t(spark, sf, "events")
@@ -337,6 +380,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_events_by_type": q_agg_events_by_type,
         "topk_per_group": q_topk_per_group,
         "sessionize": q_sessionize,
+        "rollup_revenue": q_rollup_revenue,
+        "except_keys": q_except_keys,
+        "intersect_keys": q_intersect_keys,
+        "date_arithmetic": q_date_arithmetic,
         "hourly_counts": q_hourly_counts,
         "json_extract": q_json_extract,
         "clean_text": q_clean_text,
@@ -430,6 +477,27 @@ def oracle_sql() -> dict[str, str]:
             "  FROM g)"
             "SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events "
             "FROM s GROUP BY user_id ORDER BY user_id"
+        ),
+        "rollup_revenue": (
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+            "round(sum(o_totalprice), 2) AS revenue FROM orders "
+            "GROUP BY ROLLUP (o_orderstatus, o_orderpriority) "
+            "ORDER BY o_orderstatus, o_orderpriority"
+        ),
+        "except_keys": (
+            "SELECT DISTINCT o_custkey AS key FROM orders "
+            "EXCEPT SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'"
+        ),
+        "intersect_keys": (
+            "SELECT o_orderkey AS key FROM orders "
+            "INTERSECT SELECT l_orderkey AS key FROM lineitem"
+        ),
+        "date_arithmetic": (
+            "SELECT l_orderkey, l_linenumber, "
+            "date_diff('day', o_orderdate, l_shipdate)::int AS ship_lag_days, "
+            "year(l_shipdate)::int AS ship_year, month(l_shipdate)::int AS ship_month "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE date_diff('day', o_orderdate, l_shipdate) >= 0"
         ),
         "hourly_counts": (
             "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n "
