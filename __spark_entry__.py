@@ -313,8 +313,10 @@ def q_simhash(spark, sf):
 
 
 def q_ngram_jaccard(spark, sf):
+    """Registered with the scale guard ON (df cap = 100): the verified query
+    is the one that survives 100×, and the oracle applies the same cap."""
     return textops.ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), threshold=0.2, max_docs_per_shingle=10**9
+        _t(spark, sf, "documents"), threshold=0.2, max_docs_per_shingle=100
     )
 
 
@@ -475,7 +477,9 @@ def oracle_sql() -> dict[str, str]:
             "    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id"
             "  FROM g)"
-            "SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events "
+            # window-sum over INT promotes to HUGEINT in DuckDB; cast back to
+            # BIGINT so the value hash matches Spark's LongType
+            "SELECT user_id, max(session_id)::bigint AS n_sessions, count(*) AS n_events "
             "FROM s GROUP BY user_id ORDER BY user_id"
         ),
         "rollup_revenue": (
@@ -559,11 +563,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM c GROUP BY doc_id"
         ),
         "ngram_jaccard": (
+            # shf mirrors the Spark df cap (max_docs_per_shingle=100):
+            # stop-shingles with df > 100 are dropped from pair generation
+            # (but NOT from per-doc sizes), exactly as in textops
             "WITH t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
             " sh AS (SELECT DISTINCT doc_id, unnest(" + _SHINGLES3 + ") AS sh FROM t),"
             " sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),"
+            " keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),"
+            " shf AS (SELECT sh.doc_id, sh.sh FROM sh JOIN keep USING (sh)),"
             " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter"
-            "   FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)"
+            "   FROM shf a JOIN shf b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)"
             "SELECT doc_a, doc_b, round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard "
             "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
             "WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2"

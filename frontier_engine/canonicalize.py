@@ -22,7 +22,7 @@ helpers for the cheap pieces (host, naive parity resolution).
 from __future__ import annotations
 
 import re
-from urllib.parse import quote, unquote, urlparse
+from urllib.parse import urlparse
 
 import pandas as pd
 from pyspark.sql import Column
@@ -32,12 +32,17 @@ from pyspark.sql.types import StringType
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 _UNRESERVED = re.compile(r"%(2D|2E|5F|7E|3[0-9]|[46][1-9A-F]|[57][0-9A])", re.IGNORECASE)
+_OTHER_PCT = re.compile(r"%([0-9A-Fa-f]{2})")
 
 
 def _norm_pct(s: str) -> str:
-    """Percent-decode unreserved chars, uppercase remaining escapes."""
-    s = unquote(s, errors="replace")
-    return quote(s, safe="/:@!$&'()*+,;=~-._")
+    """Percent-decode UNRESERVED escapes only, uppercase remaining escapes
+    (RFC 3986 §6.2.2.1-2).  Reserved escapes like %2F must survive: '/a%2Fb'
+    and '/a/b' are DIFFERENT resources and must not collapse to one url_key
+    (a full unquote/quote round-trip would merge them and the frontier would
+    never crawl one of the two)."""
+    s = _UNRESERVED.sub(lambda m: chr(int(m.group(1), 16)), s)
+    return _OTHER_PCT.sub(lambda m: "%" + m.group(1).upper(), s)
 
 
 def canonical_url(url: str | None) -> str | None:

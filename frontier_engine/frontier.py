@@ -25,7 +25,9 @@ order.
 
 from __future__ import annotations
 
+import math
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -135,11 +137,12 @@ def run_crawl(
     # compacted every COMPACT_EVERY rounds to bound plan width
     pages_parts: list[DataFrame] = []
     seen_parts: list[DataFrame] = []
+    metrics_parts: list[DataFrame] = []
     if store is not None and (last := store.latest_round()) is not None:
         frontier = store.read(last, "frontier")
         pages_parts = [store.read(r, "pages") for r in range(last + 1) if store.has(r, "pages")]
         seen_parts = [store.read(r, "seen") for r in range(last + 1) if store.has(r, "seen")]
-        metrics_df = store.read(last, "metrics")
+        metrics_parts = [store.read(r, "metrics") for r in range(last + 1) if store.has(r, "metrics")]
         start_round = last + 1
     else:
         # eager checkpoint: the seed frontier is referenced by several
@@ -148,13 +151,20 @@ def run_crawl(
         t0 = time.perf_counter()
         frontier = seeds_to_frontier(spark, seed_urls).localCheckpoint(eager=True)
         seed_ingest_sec = round(time.perf_counter() - t0, 3)
-        metrics_df = empty_metrics
 
     def seen_view() -> DataFrame:
         if not seen_parts:
             return empty_seen
         out = seen_parts[0]
         for p in seen_parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def metrics_view() -> DataFrame:
+        if not metrics_parts:
+            return empty_metrics
+        out = metrics_parts[0]
+        for p in metrics_parts[1:]:
             out = out.unionByName(p)
         return out
 
@@ -174,7 +184,19 @@ def run_crawl(
         seen_df = seen_view()
         pending = frontier.filter((F.col("status").isin("pending", "retry")) & (F.col("not_before") <= F.lit(now)))
         if timed("pending_check", round_no, lambda: pending.limit(1).count()) == 0:
-            break
+            # nothing eligible NOW — but scheduled retries with a future
+            # not_before (retry_backoff·2^attempt can exceed round_seconds)
+            # must not be abandoned: fast-forward virtual time to the next
+            # retry slot instead of breaking with an undrained frontier
+            min_nb = (
+                frontier.filter(F.col("status").isin("pending", "retry"))
+                .agg(F.min("not_before"))
+                .first()[0]
+            )
+            if min_nb is None:
+                break
+            now = max(now + cfg.round_seconds, math.ceil(min_nb / cfg.round_seconds) * cfg.round_seconds)
+            continue
         rounds_run += 1
 
         # 2. URL-seen gate — exact anti-join, optional bloom pre-filter
@@ -274,9 +296,9 @@ def run_crawl(
             "links", "images", "tables", "page_metadata", "json_ld", "content_hash",
         )
 
-        # 8d. metrics + checkpoint
+        # 8d. metrics — per-round DELTA like pages/seen (appending to and
+        # re-checkpointing a cumulative table each round was O(rounds²))
         m = round_metrics(fetched, round_no, deduped_count=0, snapshot_id=None)
-        metrics_df = metrics_df.unionByName(m)
 
         if store is not None:
             timed(
@@ -284,7 +306,7 @@ def run_crawl(
                 round_no,
                 lambda: store.commit_round(
                     round_no,
-                    {"frontier": next_frontier, "seen": new_seen, "pages": page_rows, "metrics": metrics_df},
+                    {"frontier": next_frontier, "seen": new_seen, "pages": page_rows, "metrics": m},
                     extra={"virtual_now": now},
                 ),
             )
@@ -292,17 +314,28 @@ def run_crawl(
             next_frontier = store.read(round_no, "frontier")
             seen_parts.append(store.read(round_no, "seen"))
             pages_parts.append(store.read(round_no, "pages"))
-            metrics_df = store.read(round_no, "metrics")
+            metrics_parts.append(store.read(round_no, "metrics"))
         else:
-            # small-state checkpoints only — page_rows is a projection of the
-            # already-checkpointed `extracted`, no second write of the bytes
-            seen_parts.append(timed("ckpt_seen", round_no, lambda: new_seen.localCheckpoint(eager=True)))
-            next_frontier = timed("ckpt_frontier", round_no, lambda: next_frontier.localCheckpoint(eager=True))
+            # the three small-state checkpoints (seen delta, frontier,
+            # metrics delta) are independent jobs — run them CONCURRENTLY so
+            # the per-round constant is one job latency, not three.
+            # page_rows is a projection of the already-checkpointed
+            # `extracted`: no second write of the heavy bytes.
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                f_seen = pool.submit(lambda: new_seen.localCheckpoint(eager=True))
+                f_front = pool.submit(lambda: next_frontier.localCheckpoint(eager=True))
+                f_metrics = pool.submit(lambda: m.localCheckpoint(eager=True))
+                seen_parts.append(f_seen.result())
+                next_frontier = f_front.result()
+                metrics_parts.append(f_metrics.result())
+            timings.append((round_no, "ckpt_small", round(time.perf_counter() - t0, 3)))
             pages_parts.append(page_rows)
-            metrics_df = timed("ckpt_metrics", round_no, lambda: metrics_df.localCheckpoint(eager=True))
 
         if len(seen_parts) >= 16:  # compact: bound union width across rounds
             seen_parts = [seen_view().localCheckpoint(eager=True)]
+        if len(metrics_parts) >= 16:
+            metrics_parts = [metrics_view().localCheckpoint(eager=True)]
 
         fetched.unpersist()
         batch.unpersist()
@@ -316,7 +349,7 @@ def run_crawl(
     else:
         pages_out = spark.createDataFrame([], _EMPTY_PAGES_DDL)
     return CrawlResult(
-        pages=pages_out, seen=seen_view(), frontier=frontier, metrics=metrics_df,
+        pages=pages_out, seen=seen_view(), frontier=frontier, metrics=metrics_view(),
         rounds=rounds_run, timings=timings,
     )
 

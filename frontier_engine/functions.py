@@ -122,7 +122,10 @@ def humanize_size_col(num_bytes: Column) -> Column:
     """E18 (storage.py:185-191) — 1024-step units, one decimal."""
     b = num_bytes.cast("double")
     kb, mb, gb, tb = (b / 1024.0, b / 1024.0**2, b / 1024.0**3, b / 1024.0**4)
-    fmt = lambda v, u: F.concat(F.format_number(v, 1), F.lit(f" {u}"))  # noqa: E731
+    # format_string, not format_number: format_number inserts thousands
+    # separators ('1,024.0 KB') where the reference f'{v:.1f}' and the
+    # DuckDB printf('%.1f') oracle emit '1024.0'
+    fmt = lambda v, u: F.concat(F.format_string("%.1f", v), F.lit(f" {u}"))  # noqa: E731
     return (
         F.when(b < 1024, fmt(b, "B"))
         .when(kb < 1024, fmt(kb, "KB"))

@@ -182,14 +182,24 @@ class _TreeBuilder(HTMLParser):
         self.root = Node("[document]")
         self.stack = [self.root]
 
+    @staticmethod
+    def _attr_dict(attrs):
+        # duplicate attributes keep the FIRST occurrence — lxml semantics
+        # (the reference parses with BeautifulSoup(..., 'lxml')); a dict
+        # comprehension would keep the last and diverge on malformed pages
+        d = {}
+        for k, v in attrs:
+            d.setdefault(k, v if v is not None else "")
+        return d
+
     def handle_starttag(self, tag, attrs):
-        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs}, self.stack[-1])
+        node = Node(tag, self._attr_dict(attrs), self.stack[-1])
         self.stack[-1].children.append(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
-        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs}, self.stack[-1])
+        node = Node(tag, self._attr_dict(attrs), self.stack[-1])
         self.stack[-1].children.append(node)
 
     def handle_endtag(self, tag):

@@ -56,11 +56,20 @@ K_HASHES = 7  # ~optimal for 1% fp: k = m/n ln2 with m/n ≈ 9.6
 
 
 def _bit_positions(key: str, m_bits: int) -> np.ndarray:
-    """K_HASHES positions via double hashing of blake2b-128(key)."""
+    """K_HASHES positions via double hashing of blake2b-128(key).
+
+    h1 + i*h2 wraps modulo 2^64 FIRST (matching the uint64 arithmetic of
+    ``_bit_positions_batch``) — with byte-aligned but non-power-of-two
+    m_bits, Python's arbitrary-precision sum would otherwise disagree with
+    the batch path and introduce bloom false negatives (seen URLs
+    re-crawled)."""
     d = hashlib.blake2b(key.encode("utf-8"), digest_size=16).digest()
     h1 = int.from_bytes(d[:8], "little")
     h2 = int.from_bytes(d[8:], "little") | 1
-    return np.array([(h1 + i * h2) % m_bits for i in range(K_HASHES)], dtype=np.int64)
+    return np.array(
+        [((h1 + i * h2) & 0xFFFFFFFFFFFFFFFF) % m_bits for i in range(K_HASHES)],
+        dtype=np.int64,
+    )
 
 
 _I_RANGE = np.arange(K_HASHES, dtype=np.uint64)

@@ -1,0 +1,136 @@
+"""Round-2 regression tests for the judge/advisor findings:
+
+* canonicalize: reserved percent-escapes must NOT collapse (RFC 3986 §6.2.2)
+* bloom: scalar and batch bit-position paths agree (uint64 wraparound)
+* htmlx: duplicate attributes keep the FIRST occurrence (lxml semantics)
+* humanize: no thousands separator at the 1023.95..1024 boundary
+* ANN LSH: Hamming-1 multi-probe recall@k vs the bruteforce baseline
+* frontier: scheduled retries beyond round_seconds are not abandoned
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from frontier_engine import seen as seenmod
+from frontier_engine import synth, textops
+from frontier_engine.canonicalize import canonical_url, surt_key
+from frontier_engine.functions import humanize_size_col
+from frontier_engine.htmlx import parse_html
+from frontier_engine.schema import PAGES
+
+
+# ---------------------------------------------------------------------------
+# canonicalize — reserved escapes survive (ADVICE: _norm_pct over-decoding)
+# ---------------------------------------------------------------------------
+
+
+def test_reserved_escapes_do_not_collapse():
+    a = canonical_url("http://ex.com/a%2Fb")
+    b = canonical_url("http://ex.com/a/b")
+    assert a == "http://ex.com/a%2Fb"
+    assert a != b
+    qa = canonical_url("http://ex.com/?a=b%26c=d")
+    qb = canonical_url("http://ex.com/?a=b&c=d")
+    assert qa != qb
+    assert surt_key("http://ex.com/a%2Fb") != surt_key("http://ex.com/a/b")
+
+
+def test_unreserved_escapes_decode_and_hex_uppercases():
+    assert canonical_url("http://ex.com/%7Euser") == "http://ex.com/~user"
+    assert canonical_url("http://ex.com/%41%62c") == "http://ex.com/Abc"
+    # non-unreserved escape: kept, hex uppercased
+    assert canonical_url("http://ex.com/a%3ab") == "http://ex.com/a%3Ab"
+
+
+# ---------------------------------------------------------------------------
+# bloom — scalar/batch agreement (ADVICE: dead-function divergence)
+# ---------------------------------------------------------------------------
+
+
+def test_bit_positions_scalar_equals_batch():
+    m_bits = (1 << 20) - 8  # byte-aligned, NOT a power of two
+    keys = [f"com,example)/page/{i}" for i in range(500)]
+    batch = seenmod._bit_positions_batch(keys, m_bits)
+    for j, k in enumerate(keys):
+        assert np.array_equal(seenmod._bit_positions(k, m_bits), batch[j]), k
+
+
+# ---------------------------------------------------------------------------
+# htmlx — duplicate attributes keep FIRST (lxml parity)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_attribute_keeps_first():
+    doc = parse_html('<meta name="a" name="b" content="x"><p id="1" id="2">t</p>')
+    metas = doc.find_all("meta")
+    assert metas[0].attrs["name"] == "a"
+    p = doc.find_all("p")[0]
+    assert p.attrs["id"] == "1"
+
+
+# ---------------------------------------------------------------------------
+# humanize — comma-free formatting at the rounding boundary
+# ---------------------------------------------------------------------------
+
+
+def test_humanize_no_thousands_separator(spark):
+    # 1023.99 KB rounds to '1024.0 KB' — must not print '1,024.0 KB'
+    df = spark.createDataFrame([(int(1023.99 * 1024),)], "b long")
+    val = df.select(humanize_size_col(F.col("b")).alias("h")).first()["h"]
+    assert val == "1024.0 KB"
+    assert "," not in val
+
+
+# ---------------------------------------------------------------------------
+# ANN LSH — multi-probe recall contract vs bruteforce
+# ---------------------------------------------------------------------------
+
+
+def test_ann_lsh_recall_at_k(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    k = 10
+    bf = textops.cosine_topk_bruteforce(emb, qids, k=k)
+    lsh = textops.cosine_topk_lsh(emb, qids, k=k)
+    truth = {(r["query_id"], r["cand_id"]) for r in bf.collect()}
+    got = {(r["query_id"], r["cand_id"]) for r in lsh.collect()}
+    recall = len(truth & got) / len(truth)
+    # multi-probe over bucket ∪ Hamming-1 buckets: recall well above the
+    # single-bucket floor at fixture scale
+    assert recall >= 0.6, f"recall@{k} = {recall:.3f}"
+
+
+def test_ann_lsh_subset_of_exact_cosines(spark):
+    """Every LSH hit must carry the exact cosine (scored, not approximated)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = textops.cosine_topk_bruteforce(emb, [0], k=1000)
+    lsh = textops.cosine_topk_lsh(emb, [0], k=5)
+    exact = {(r["query_id"], r["cand_id"]): r["cosine"] for r in bf.collect()}
+    for r in lsh.collect():
+        key = (r["query_id"], r["cand_id"])
+        assert key in exact and abs(exact[key] - r["cosine"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# frontier — retries scheduled past round_seconds still run (ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def test_retry_beyond_round_seconds_not_abandoned(spark):
+    from frontier_engine.frontier import CrawlConfig, run_crawl
+
+    corpus = spark.createDataFrame(synth.gen_pages(30), schema=PAGES)
+    corpus_urls = [r["url"] for r in corpus.select("url").distinct().collect()]
+    missing = [f"https://missing{i}.example.com/x{i}.html" for i in range(5)]
+    seeds = corpus_urls + missing  # missing URLs fail → scheduled retries
+    # retry_backoff (8s, doubling) >> round_seconds (2s): without virtual-
+    # time fast-forward, the loop would break with retries still pending
+    cfg = CrawlConfig(round_seconds=2.0, max_rounds=50, retry_backoff=8.0)
+    res = run_crawl(spark, corpus, seeds, cfg)
+    seen_urls = {r["url"] for r in res.seen.select("url").collect()}
+    for u in missing:  # exhausted after max_attempts — never abandoned
+        assert u in seen_urls, u
+    assert res.frontier.filter(F.col("status").isin("pending", "retry")).count() == 0
+    failed_total = res.metrics.groupBy().sum("failed").collect()[0][0]
+    assert failed_total == len(missing) * cfg.max_attempts
