@@ -22,8 +22,10 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from frontier_engine import textops  # noqa: E402
+from frontier_engine import sinks, textops  # noqa: E402
 from frontier_engine.functions import humanize_size_col  # noqa: E402
+from frontier_engine.multimodal import parse_data_urls, size_cap_filter  # noqa: E402
+from frontier_engine.pipeline import run_post_processing  # noqa: E402
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -292,6 +294,77 @@ def q_humanize_size(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# sources / sinks / pipeline interpreter (S3, S12, F5, E20/K1)
+# ---------------------------------------------------------------------------
+
+
+def q_data_url_source(spark, sf):
+    """S12 (media_downloader.py:217-304): parse inline ``data:`` URLs —
+    regexp mime extraction + native unbase64 decode + E17 content address.
+    Data URLs are built deterministically from the documents text (base64
+    round-trip), so the decode path is cross-checked against DuckDB's
+    from_base64."""
+    d = _t(spark, sf, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("data:text/plain;base64,"), F.base64(F.encode("text", "utf-8"))).alias("data_url"),
+    )
+    return parse_data_urls(urls).select(
+        "doc_id", "content_type", "media_type", "ext", "size", "content_hash", "filename"
+    )
+
+
+def q_flatten_export(spark, sf):
+    """E20/K1 flatten projection (storage.py:71-81): struct AND map columns
+    flatten one level to ``{col}_{key}`` names; scalars pass through."""
+    o = _t(spark, sf, "orders")
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority")
+        ).alias("meta"),
+        F.create_map(
+            F.lit("pri"), F.col("o_orderpriority"), F.lit("status"), F.col("o_orderstatus")
+        ).alias("tags"),
+    )
+    return sinks.flatten_one_level(nested)
+
+
+def q_size_cap(spark, sf):
+    """F5 (media_downloader.py:156-159): pre-download content-length gate;
+    NULL (unknown) sizes pass — the reference re-checks during download."""
+    d = _t(spark, sf, "documents")
+    with_len = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise((F.col("n_chars") * 512).cast("long"))
+        .alias("content_length"),
+    )
+    # coalesce AFTER the gate: unknown sizes pass the filter as NULL, but
+    # emit -1 so the driver's row-sort comparator never sees NULLs
+    return size_cap_filter(with_len, 100 * 1024).select(
+        "doc_id", F.coalesce(F.col("content_length"), F.lit(-1)).cast("long").alias("content_length")
+    )
+
+
+def q_pipeline_ops(spark, sf):
+    """S3 interpreter (main.py:166-206): a pipeline.yaml-shaped ordered op
+    list (filter → sort → deduplicate) run by the YAML interpreter; dedup
+    keeps the first row under the CURRENT sort (pandas stable semantics)."""
+    o = _t(spark, sf, "orders")
+    cfg = {
+        "operations": [
+            {"type": "filter", "column": "o_orderstatus", "value": "O", "condition": "equals"},
+            {"type": "sort", "column": "o_totalprice", "ascending": False},
+            {"type": "deduplicate", "columns": ["o_custkey"]},
+        ]
+    }
+    return run_post_processing(o, cfg, dedup_order_by=["o_orderkey"]).select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
 # training-data ops (textops)
 # ---------------------------------------------------------------------------
 
@@ -388,6 +461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_arithmetic": q_date_arithmetic,
         "hourly_counts": q_hourly_counts,
         "json_extract": q_json_extract,
+        "data_url_source": q_data_url_source,
+        "flatten_export": q_flatten_export,
+        "size_cap": q_size_cap,
+        "pipeline_ops": q_pipeline_ops,
         "clean_text": q_clean_text,
         "regex_extract": q_regex_extract,
         "content_hash": q_content_hash,
@@ -510,6 +587,43 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": (
             "SELECT event_id, json_extract_string(props, '$.k')::int AS k "
             "FROM events WHERE json_extract_string(props, '$.k')::int > 50"
+        ),
+        "data_url_source": (
+            # base64 round-trip: DuckDB md5 needs VARCHAR, so decode() the
+            # blob back (utf-8 text → identical digest to Spark md5(binary))
+            "WITH u AS (SELECT doc_id, 'data:text/plain;base64,' || to_base64(encode(text)) AS durl"
+            "  FROM documents),"
+            " p AS (SELECT doc_id,"
+            "   regexp_extract(durl, '^data:([^;,]*)', 1) AS content_type,"
+            "   from_base64(regexp_extract(durl, '^[^,]*,(.*)$', 1)) AS content"
+            "  FROM u)"
+            "SELECT doc_id, content_type,"
+            " CASE WHEN content_type LIKE 'image/%' THEN 'images'"
+            "      WHEN content_type LIKE 'video/%' THEN 'videos'"
+            "      WHEN content_type LIKE 'audio/%' THEN 'audio'"
+            "      ELSE 'other' END AS media_type,"
+            " '.txt' AS ext,"
+            " octet_length(content)::bigint AS size,"
+            " substr(md5(decode(content)), 1, 10) AS content_hash,"
+            " substr(md5(decode(content)), 1, 10) || '.txt' AS filename "
+            "FROM p"
+        ),
+        "flatten_export": (
+            "SELECT o_orderkey, o_orderstatus AS meta_status, o_orderpriority AS meta_priority, "
+            "o_orderpriority AS tags_pri, o_orderstatus AS tags_status FROM orders"
+        ),
+        "size_cap": (
+            "SELECT doc_id, coalesce(content_length, -1)::bigint AS content_length FROM ("
+            "  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL"
+            "         ELSE (n_chars * 512)::bigint END AS content_length FROM documents)"
+            "WHERE content_length IS NULL OR content_length <= 102400"
+        ),
+        "pipeline_ops": (
+            "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+            "  SELECT o_custkey, o_orderkey, o_totalprice,"
+            "         row_number() OVER (PARTITION BY o_custkey "
+            "           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn"
+            "  FROM orders WHERE o_orderstatus = 'O') WHERE rn = 1"
         ),
         "clean_text": (
             "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS cleaned, "

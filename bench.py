@@ -68,6 +68,12 @@ def main():
         force(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # ANN contract metric: recall@k of the bucketed LSH path vs the exact
+    # bruteforce baseline (tiny result sets — the collect is driver-cheap)
+    truth = {(r[0], r[1]) for r in qs["ann_cosine_topk"](spark, sf_dir).select("query_id", "cand_id").collect()}
+    got = {(r[0], r[1]) for r in qs["ann_cosine_lsh"](spark, sf_dir).select("query_id", "cand_id").collect()}
+    ann_recall = round(len(truth & got) / max(len(truth), 1), 3)
+
     # crawl pipeline benchmark: synth corpus at input_hint shape (parquet-
     # backed, as in production — never a driver-local plan), bloom on,
     # depth-1 expansion, big politeness budget (throughput-bound, not
@@ -105,6 +111,7 @@ def main():
                 "value": round(n_seen / crawl_sec, 2),
                 "unit": "urls/sec",
                 "total_sec": total,
+                "ann_lsh_recall_at_10": ann_recall,
                 "queries": timings,
                 "sf": sf_dir.rstrip("/").split("sf")[-1],
                 "crawl": {

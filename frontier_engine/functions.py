@@ -49,13 +49,15 @@ def op_sort(df: DataFrame, column: str, ascending: bool = True) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def op_deduplicate(df: DataFrame, columns: list[str], order_by: list[str]) -> DataFrame:
+def op_deduplicate(df: DataFrame, columns: list[str], order_by: list) -> DataFrame:
     """pandas drop_duplicates keeps the FIRST row in frame order; Spark has
     no frame order, so determinism requires an explicit order key
-    (SURVEY §7.4): keep the min(order_by) row per duplicate group."""
+    (SURVEY §7.4): keep the min(order_by) row per duplicate group.
+    ``order_by`` entries may be column names or Column sort expressions
+    (the pipeline interpreter passes the current sort order through)."""
     valid = [c for c in columns if c in df.columns]
     subset = valid if valid else df.columns
-    w = Window.partitionBy(*subset).orderBy(*[F.col(c) for c in order_by])
+    w = Window.partitionBy(*subset).orderBy(*[F.col(c) if isinstance(c, str) else c for c in order_by])
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -53,3 +53,27 @@ def test_null_content_isolated(spark):
     out = {r.media_id: r for r in mm.extract_media_features(df).collect()}
     assert out[2].content_hash is None and out[2].feature is None  # P5: row, not exception
     assert out[0].content_hash is not None
+
+
+def test_decode_falls_back_to_stub_on_undecodable_bytes():
+    """PIL-gated dispatch (E19): garbage bytes use the deterministic stub
+    whether or not PIL is installed."""
+    from frontier_engine import multimodal
+
+    got = multimodal._decode_image(b"definitely not an image")
+    stub = multimodal._decode_image_stub(b"definitely not an image")
+    assert got[:2] == stub[:2] and (got[2] == stub[2]).all()
+
+
+def test_pil_real_decode_when_available():
+    """Activates wherever PIL exists (skipped in this sandbox)."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from frontier_engine import multimodal
+
+    buf = io.BytesIO()
+    PIL.new("RGB", (12, 7)).save(buf, format="PNG")
+    w, h, px = multimodal._decode_image(buf.getvalue())
+    assert (w, h) == (12, 7)
+    assert len(px) == 12 * 7 * 3
