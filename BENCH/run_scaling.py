@@ -134,8 +134,9 @@ min-of-k measures the machine, not the neighbors).
 
 N={rn['cores']} and 4N={r4n['cores']} worker threads: the host has 32
 logical cpus on 16 physical cores (SMT) — measured raw-CPU process scaling
-is 3.75x for 4→16 (0.94) but only 3.16x for 8→32 (0.79), so 4→16 is the
-honest core sweep; 8→32 is capped by hyperthreading, not the engine.
+is 3.96x for 2→8 (0.99), 3.75x for 4→16 (0.94), 3.16x for 8→32 (0.79).
+Sweeps must stay within physical cores with headroom for the JVM's own
+GC/shuffle threads; 8→32 is capped by hyperthreading, not the engine.
 
 **Job**: one crawl round over a {pages:,}-page parquet corpus
 (input_hint schema), seeds = every distinct corpus url read from parquet —
@@ -161,8 +162,8 @@ Phase wall-times (seconds, best trial):
 
 Reference comparison: the reference crawls sequentially at ~0.2 URL/s by
 design (BASELINE.md); the engine at N={rn['cores']} already exceeds it by
-~4 orders of magnitude.  The dominant phase (fetch+extract inside
-ckpt_seen) is embarrassingly parallel — the property that carries to a
+~4 orders of magnitude.  The dominant phase (fetch+extract+checkpoint,
+`extract_ckpt`) is embarrassingly parallel — the property that carries to a
 1000-executor cluster, where per-round data per executor is far larger and
 the fixed per-round driver overhead (the main deviation from 1.0 here)
 amortizes further.

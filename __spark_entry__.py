@@ -397,6 +397,13 @@ def q_ann_cosine_topk(spark, sf):
     return textops.cosine_topk_bruteforce(_t(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=10)
 
 
+def q_dedup_embedding(spark, sf):
+    """5th dedup family member: embedding-cosine near-dup pairs via a
+    single-table LSH bucket self-join + exact cosine verify (the bucketing
+    is mirrored bit-for-bit in the DuckDB twin)."""
+    return textops.dedup_embedding_cosine(_t(spark, sf, "embeddings"), threshold=0.3)
+
+
 def q_lang_id(spark, sf):
     return textops.lang_id(_t(spark, sf, "documents"))
 
@@ -476,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
+        "dedup_embedding": q_dedup_embedding,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -702,6 +710,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, cand_id, cosine, rank FROM ("
             "  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank"
             "  FROM scored) WHERE rank <= 10"
+        ),
+        "dedup_embedding": (
+            # mirrors textops.dedup_embedding_cosine bit-for-bit: plane(p,d)
+            # = (h60("p,d") & 1)*2-1, projection = ordered left-fold over
+            # the dim list (list_sum preserves element order), bucket = 8
+            # sign bits, pairs = same-bucket self-join, exact cosine >= 0.3
+            "WITH pb AS ("
+            "  SELECT vec_id, p,"
+            "    CASE WHEN list_sum(list_transform("
+            "           list_zip(embedding, generate_series(0, len(embedding) - 1)),"
+            "           pr -> pr[1]::double *"
+            "             ((('0x' || substr(md5(p::varchar || ',' || pr[2]::varchar), 1, 15))::bigint & 1) * 2 - 1)::double"
+            "         )) > 0 THEN '1' ELSE '0' END AS b"
+            "  FROM embeddings, unnest(generate_series(0, 7)) AS t(p)),"
+            " buckets AS ("
+            "  SELECT vec_id, string_agg(b, '' ORDER BY p) AS bucket FROM pb GROUP BY vec_id),"
+            " be AS (SELECT b.vec_id, b.bucket, e.embedding FROM buckets b JOIN embeddings e USING (vec_id)),"
+            " pairs AS ("
+            "  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
+            "    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),"
+            "                   pr -> pr[1]::double * pr[2]::double))"
+            "      / (sqrt(list_sum(list_transform(a.embedding, x -> x::double * x::double)))"
+            "       * sqrt(list_sum(list_transform(b.embedding, x -> x::double * x::double)))), 6) AS cosine"
+            "  FROM be a JOIN be b USING (bucket) WHERE a.vec_id < b.vec_id)"
+            "SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.3"
         ),
         "lang_id": (
             "WITH t AS (SELECT doc_id, unnest(" + _TOKS + ") AS tok FROM documents),"

@@ -152,6 +152,18 @@ def media_type_col(ext: Column) -> Column:
     )
 
 
+def domain_route_col(url: Column) -> Column:
+    """F7 (scraper.py:755, :889; cli.py:138) — domain predicate dispatch as
+    a routing column: the reference's ``'youtube.com' in url`` chains become
+    one expression that downstream ops branch on (youtube → E13 id
+    extraction, soundcloud → E14, else the generic page path)."""
+    return (
+        F.when(url.contains("youtube.com") | url.contains("youtu.be"), F.lit("youtube"))
+        .when(url.contains("soundcloud.com"), F.lit("soundcloud"))
+        .otherwise(F.lit("generic"))
+    )
+
+
 def url_extension_col(url: Column) -> Column:
     """E16 first step — lowercase extension of the URL path."""
     path = F.parse_url(url, F.lit("PATH"))

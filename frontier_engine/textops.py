@@ -331,6 +331,58 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def dedup_embedding_cosine(
+    emb: DataFrame, threshold: float = 0.3, n_planes: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs — the 5th dedup family member
+    (driver mandate): (vec_a, vec_b, cosine) with cosine ≥ ``threshold``.
+
+    Scale shape: candidate pairs come from a single random-hyperplane LSH
+    bucket self-join (same-bucket only — never the N² cross join), then the
+    EXACT cosine filters them.  Plane p is deterministic from md5("p,d"),
+    and the plane projection is a left-fold over the dim index on BOTH
+    engines (Spark ``aggregate``, DuckDB ``list_sum(list_transform(...))``)
+    so the sign bits agree bit-for-bit and the oracle can mirror the
+    bucketing exactly.  High-similarity pairs (the dedup regime, cos≥0.9)
+    collide with probability p_plane^n_planes ≈ 0.3 per table — production
+    raises recall by unioning several plane sets (cosine_topk_lsh's
+    multi-table machinery); the registered single-table variant keeps the
+    SQL twin tractable while exercising the full bucket→exact-verify path.
+    """
+    dim_seq = F.sequence(F.lit(0), F.size("embedding") - 1)
+
+    def plane_val(p, d):
+        return (
+            _h60(F.concat_ws(",", p.cast("string"), d.cast("string"))).bitwiseAND(F.lit(1)) * 2 - 1
+        ).cast("double")
+
+    bucket = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda p: F.when(
+                F.aggregate(
+                    F.zip_with(F.col("embedding"), dim_seq, lambda x, d: x.cast("double") * plane_val(p, d)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ),
+        "",
+    )
+    withb = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = withb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
+    b = withb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(_dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

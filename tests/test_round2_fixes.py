@@ -113,6 +113,26 @@ def test_ann_lsh_subset_of_exact_cosines(spark):
 
 
 # ---------------------------------------------------------------------------
+# F7 — domain routing column (scraper.py:755, :889)
+# ---------------------------------------------------------------------------
+
+
+def test_domain_route_col(spark):
+    from frontier_engine.functions import domain_route_col
+
+    cases = [
+        ("https://www.youtube.com/watch?v=abc", "youtube"),
+        ("https://youtu.be/xyz", "youtube"),
+        ("https://soundcloud.com/artist/track", "soundcloud"),
+        ("https://example.com/page", "generic"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    out = df.select("want", domain_route_col(F.col("url")).alias("got")).collect()
+    for r in out:
+        assert r["got"] == r["want"]
+
+
+# ---------------------------------------------------------------------------
 # frontier — retries scheduled past round_seconds still run (ADVICE)
 # ---------------------------------------------------------------------------
 
