@@ -20,6 +20,8 @@ one hash-partitioned aggregation, no cross joins except within LSH buckets.
 
 from __future__ import annotations
 
+import hashlib as _hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -188,6 +190,22 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _plane_row(prefix: str, dim: int) -> list[float]:
+    """±1 hyperplane components, precomputed DRIVER-SIDE.
+
+    Identical by construction to the runtime expression
+    ``(_h60(concat(prefix, ',', d)) & 1) * 2 - 1`` (and to the DuckDB twin
+    ``('0x'||substr(md5(prefix||','||d),1,15))::bigint & 1``) — but since the
+    planes are pure functions of literals, evaluating md5 per ROW per
+    (plane, dim) in the JVM is pure waste (measured: it dominated the LSH
+    query).  A literal array per plane turns the projection into dim
+    multiplies per plane per row."""
+    return [
+        float((int(_hashlib.md5(f"{prefix},{d}".encode()).hexdigest()[:15], 16) & 1) * 2 - 1)
+        for d in range(dim)
+    ]
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -257,37 +275,37 @@ def cosine_topk_lsh(
     """
     from pyspark.sql import Window
 
-    dim_seq = F.sequence(F.lit(0), F.size("embedding") - 1)
-    tables_seq = F.sequence(F.lit(0), F.lit(n_tables - 1))
+    # planes precomputed driver-side (see _plane_row): plane (t, p) is ONE
+    # literal double array; bucket bit = sign of an ordered left-fold dot —
+    # dim multiplies per plane per row instead of dim md5 calls per plane
+    # per row.  The dim probe is a single-row job (uniform-dim schema
+    # contract); oversizing the literal instead costs n_tables·n_planes
+    # interpreted zip_with iterations per padded element per row.
+    max_dim = emb.select(F.size("embedding")).first()[0]
 
-    def plane_val(t, p, d):
-        # plane component ∈ {-1,+1} via md5 parity of (table, plane, dim)
-        return (
-            _h60(F.concat_ws(",", t.cast("string"), p.cast("string"), d.cast("string")))
-            .bitwiseAND(F.lit(1)) * 2 - 1
-        ).cast("double")
-
-    def bucket_of(e, t):
+    def bucket_of(e, t: int):
         # n_planes sign bits of table t, as a '0110…' string
-        return F.array_join(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_planes - 1)),
-                lambda p: F.when(
-                    F.aggregate(
-                        F.zip_with(F.col(e), dim_seq, lambda x, d: x.cast("double") * plane_val(t, p, d)),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    )
-                    > 0,
-                    F.lit(1),
-                ).otherwise(F.lit(0)),
-            ),
-            "",
-        )
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(e),
+                        F.lit(_plane_row(f"{t},{p}", max_dim)),
+                        lambda x, pv: x.cast("double") * pv,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + F.coalesce(v, F.lit(0.0)),
+                )
+                > 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in range(n_planes)
+        ]
+        return F.concat(*bits)
 
     def probes_of(e):
         # per table: [bucket, all Hamming-1 flips] → array<struct<table_id,probe>>
-        def per_table(t):
+        def per_table(t: int):
             b = bucket_of(e, t)
             flips = F.transform(
                 F.sequence(F.lit(1), F.lit(n_planes)),  # 1-based bit position
@@ -299,10 +317,10 @@ def cosine_topk_lsh(
             )
             return F.transform(
                 F.array_union(F.array(b), flips),
-                lambda pb: F.struct(t.alias("table_id"), pb.alias("probe")),
+                lambda pb: F.struct(F.lit(t).alias("table_id"), pb.alias("probe")),
             )
 
-        return F.flatten(F.transform(tables_seq, per_table))
+        return F.flatten(F.array(*[per_table(t) for t in range(n_tables)]))
 
     q = (
         emb.filter(F.col("vec_id").isin(query_ids))
@@ -316,7 +334,7 @@ def cosine_topk_lsh(
     cand = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("ce"),
-        F.posexplode(F.transform(tables_seq, lambda t: bucket_of("embedding", t))).alias("ct", "cb"),
+        F.posexplode(F.array(*[bucket_of("embedding", t) for t in range(n_tables)])).alias("ct", "cb"),
     )
     scored = (
         F.broadcast(q)
@@ -349,27 +367,27 @@ def dedup_embedding_cosine(
     multi-table machinery); the registered single-table variant keeps the
     SQL twin tractable while exercising the full bucket→exact-verify path.
     """
-    dim_seq = F.sequence(F.lit(0), F.size("embedding") - 1)
-
-    def plane_val(p, d):
-        return (
-            _h60(F.concat_ws(",", p.cast("string"), d.cast("string"))).bitwiseAND(F.lit(1)) * 2 - 1
-        ).cast("double")
-
-    bucket = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_planes - 1)),
-            lambda p: F.when(
+    # literal planes (see _plane_row) — parity with the oracle's runtime
+    # md5(p||','||d) is by construction; zip_with pads the shorter side
+    # with nulls, which the fold coalesces to 0 (bit-identical sum)
+    max_dim = emb.select(F.size("embedding")).first()[0]
+    bucket = F.concat(
+        *[
+            F.when(
                 F.aggregate(
-                    F.zip_with(F.col("embedding"), dim_seq, lambda x, d: x.cast("double") * plane_val(p, d)),
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.lit(_plane_row(str(p), max_dim)),
+                        lambda x, pv: x.cast("double") * pv,
+                    ),
                     F.lit(0.0),
-                    lambda acc, v: acc + v,
+                    lambda acc, v: acc + F.coalesce(v, F.lit(0.0)),
                 )
                 > 0,
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        ),
-        "",
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in range(n_planes)
+        ]
     )
     withb = emb.select("vec_id", "embedding", bucket.alias("bucket"))
     a = withb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")

@@ -202,7 +202,10 @@ def test_yaml_load_and_site_merge(tmp_path):
     urls, selectors = pipeline.merge_site_config(cfg, {"urls": ["https://b.com/y"], "selectors": {"t": "h1"}})
     assert urls == ["https://a.com/x", "https://b.com/y"]
     assert selectors == {"t": "h1"}  # pipeline has none → site fallback
-    assert pipeline.load_pipeline(str(tmp_path / "missing.yaml")) == {}  # warn + {}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert pipeline.load_pipeline(str(tmp_path / "missing.yaml")) == {}  # warn + {}
+        assert any("Error loading pipeline" in str(x.message) for x in w)
 
 
 def test_fetcher_dispatch():
