@@ -397,6 +397,13 @@ def q_ann_cosine_topk(spark, sf):
     return textops.cosine_topk_bruteforce(_t(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=10)
 
 
+def q_ann_cosine_ivf(spark, sf):
+    """IVF scale-path ANN (k-means coarse quantizer, n_probe cluster scan).
+    No SQL oracle: iterative algorithm; contract = recall@k pytest vs the
+    oracle-checked bruteforce baseline + the driver's rows-only check."""
+    return textops.cosine_topk_ivf(_t(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=10)
+
+
 def q_dedup_embedding(spark, sf):
     """5th dedup family member: embedding-cosine near-dup pairs via a
     single-table LSH bucket self-join + exact cosine verify (the bucketing
@@ -483,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
+        "ann_cosine_ivf": q_ann_cosine_ivf,
         "dedup_embedding": q_dedup_embedding,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -777,5 +785,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> x::double * x::double))), 4) AS l2_norm "
             "FROM embeddings"
         ),
-        # ann_cosine_lsh: intentionally no oracle (probabilistic recall)
+        # ann_cosine_lsh / ann_cosine_ivf: intentionally no oracle
+        # (probabilistic recall / iterative) — recall@k pytest contracts
     }

@@ -45,6 +45,84 @@ def robots_allowed(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.filter(~F.coalesce(blocked, F.lit(False)))
 
 
+def parse_robots_policy(
+    robots: DataFrame, text_col: str = "robots_txt", agent: str = "*"
+) -> DataFrame:
+    """(host, robots_txt) → host_policy rows (host, robots_rules,
+    crawl_delay): the standard robots.txt group parse (RFC 9309-lite) for
+    ``agent``, preferring an exact user-agent group over the ``*`` group.
+
+    Output feeds ``join_host_policy``/``robots_allowed`` unchanged:
+    Disallow path prefixes comma-joined (empty Disallow = allow-all and is
+    dropped), Crawl-delay honored when present, else the reference default.
+
+    Engine shape: robots.txt is per HOST — a dim table even at web scale —
+    so an Arrow-batched pandas UDF is the right tool here (stateful
+    line-group parsing; the FRONTIER never passes through Python).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    target = agent.lower()
+
+    def parse_one(text: str | None) -> tuple[str, float]:
+        if not text:
+            return "", DEFAULT_CRAWL_DELAY
+        groups: list[tuple[list[str], list[str], float | None]] = []  # (agents, denies, delay)
+        cur_agents: list[str] = []
+        cur_denies: list[str] = []
+        cur_delay: float | None = None
+        last_was_agent = False
+
+        def flush():
+            nonlocal cur_agents, cur_denies, cur_delay
+            if cur_agents:
+                groups.append((cur_agents, cur_denies, cur_delay))
+            cur_agents, cur_denies, cur_delay = [], [], None
+
+        for raw in text.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            field, _, value = line.partition(":")
+            field = field.strip().lower()
+            value = value.strip()
+            if field == "user-agent":
+                if not last_was_agent:
+                    flush()
+                cur_agents.append(value.lower())
+                last_was_agent = True
+                continue
+            last_was_agent = False
+            if field == "disallow" and value:
+                cur_denies.append(value)
+            elif field == "crawl-delay":
+                try:
+                    cur_delay = float(value)
+                except ValueError:
+                    pass
+        flush()
+        exact = [g for g in groups if target in g[0]]
+        star = [g for g in groups if "*" in g[0]]
+        chosen = exact or star
+        if not chosen:
+            return "", DEFAULT_CRAWL_DELAY
+        denies = [d for g in chosen for d in g[1]]
+        delays = [g[2] for g in chosen if g[2] is not None]
+        return ",".join(denies), (delays[0] if delays else DEFAULT_CRAWL_DELAY)
+
+    # struct-returning scalar pandas UDF: no type hints (the hint resolver
+    # rejects Series → DataFrame; the untyped form dispatches correctly)
+    @pandas_udf("struct<robots_rules:string,crawl_delay:double>")
+    def parse_udf(texts):
+        parsed = [parse_one(t) for t in texts]
+        return pd.DataFrame(parsed, columns=["robots_rules", "crawl_delay"])
+
+    return robots.select(
+        "host", parse_udf(F.col(text_col)).alias("p")
+    ).select("host", F.col("p.robots_rules").alias("robots_rules"), F.col("p.crawl_delay").alias("crawl_delay"))
+
+
 def rank_and_quota(
     candidates: DataFrame,
     round_seconds: float,

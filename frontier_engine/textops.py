@@ -303,31 +303,36 @@ def cosine_topk_lsh(
         ]
         return F.concat(*bits)
 
-    def probes_of(e):
-        # per table: [bucket, all Hamming-1 flips] → array<struct<table_id,probe>>
-        def per_table(t: int):
-            b = bucket_of(e, t)
-            flips = F.transform(
-                F.sequence(F.lit(1), F.lit(n_planes)),  # 1-based bit position
-                lambda i: F.concat(
-                    F.substr(b, F.lit(1), i - 1),
-                    F.when(F.substr(b, i, F.lit(1)) == "1", F.lit("0")).otherwise(F.lit("1")),
-                    F.substr(b, i + 1, F.lit(n_planes) - i),
-                ),
-            )
-            return F.transform(
-                F.array_union(F.array(b), flips),
-                lambda pb: F.struct(F.lit(t).alias("table_id"), pb.alias("probe")),
-            )
+    def probes_from_bucket(b, t: int):
+        # [bucket, all Hamming-1 flips] of an ALREADY-MATERIALIZED bucket
+        # string column — the flips are cheap substr ops over the string, so
+        # the expensive fold appears once per table in the plan, not
+        # (n_planes+1)× (plan analysis + codegen cost scales with tree size)
+        flips = F.transform(
+            F.sequence(F.lit(1), F.lit(n_planes)),  # 1-based bit position
+            lambda i: F.concat(
+                F.substr(b, F.lit(1), i - 1),
+                F.when(F.substr(b, i, F.lit(1)) == "1", F.lit("0")).otherwise(F.lit("1")),
+                F.substr(b, i + 1, F.lit(n_planes) - i),
+            ),
+        )
+        return F.transform(
+            F.array_union(F.array(b), flips),
+            lambda pb: F.struct(F.lit(t).alias("table_id"), pb.alias("probe")),
+        )
 
-        return F.flatten(F.array(*[per_table(t) for t in range(n_tables)]))
-
+    qb = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        *[bucket_of("embedding", t).alias(f"__b{t}") for t in range(n_tables)],
+    )
     q = (
-        emb.filter(F.col("vec_id").isin(query_ids))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.explode(probes_of("embedding")).alias("tp"),
+        qb.select(
+            "query_id",
+            "qe",
+            F.explode(
+                F.flatten(F.array(*[probes_from_bucket(F.col(f"__b{t}"), t) for t in range(n_tables)]))
+            ).alias("tp"),
         )
         .select("query_id", "qe", F.col("tp.table_id").alias("table_id"), F.col("tp.probe").alias("probe"))
     )
@@ -344,6 +349,104 @@ def cosine_topk_lsh(
         .withColumn("cosine", F.round(_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 6))
         .select("query_id", "cand_id", "cosine")
         .dropDuplicates(["query_id", "cand_id"])  # pair may collide in >1 table
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _sqdist(e, lit_centroid):
+    return F.aggregate(
+        F.zip_with(e, lit_centroid, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + F.coalesce(v, F.lit(0.0)),
+    )
+
+
+def assign_clusters(emb: DataFrame, centroids: list[list[float]], e_col: str = "embedding") -> DataFrame:
+    """Append ``cluster_id`` = argmin squared distance to the literal
+    centroids (ties → lowest id).  Pure codegen projection — the centroid
+    table is k·dim doubles embedded as literals, never a join."""
+    dists = F.array(*[_sqdist(F.col(e_col), F.lit(c)) for c in centroids])
+    return emb.withColumn("cluster_id", (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+
+
+def kmeans_centroids(emb: DataFrame, k: int = 16, iters: int = 3) -> list[list[float]]:
+    """Deterministic k-means (no np.random/Date.now): init = the k vectors
+    with smallest xxhash64(vec_id); then ``iters`` rounds of assign
+    (literal-centroid argmin, codegen) + update (posexplode → per-(cluster,
+    dim) avg — ONE narrow aggregation; k·dim rows return to the driver,
+    which is KBs at any corpus size).  This is the classic Spark k-means
+    loop shape (same as MLlib's): per-iteration driver state is exactly the
+    centroid matrix, never row data."""
+    init = (
+        emb.select("vec_id", "embedding")
+        .withColumn("h", F.xxhash64(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in init]
+    for _ in range(iters):
+        assigned = assign_clusters(emb.select("embedding"), centroids)
+        rows = (
+            assigned.select("cluster_id", F.posexplode("embedding").alias("d", "x"))
+            .groupBy("cluster_id", "d")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = {(r["cluster_id"], r["d"]): r["m"] for r in rows}
+        dim = len(centroids[0])
+        centroids = [
+            [float(new.get((j, d), centroids[j][d])) for d in range(dim)]  # empty cluster keeps its centroid
+            for j in range(len(centroids))
+        ]
+    return centroids
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """IVF ANN (the coarse-quantizer alternative to cosine_topk_lsh, per the
+    driver mandate 'IVF or LSH'): k-means-partition the corpus once, then
+    each query exactly scores ONLY the ``n_probe`` clusters whose centroids
+    are nearest to it — scanning n_probe/n_clusters of the corpus instead
+    of all of it.
+
+    Scale shape: the corpus is assigned map-side against literal centroids
+    (in production the assignment is materialized once and the table is
+    PARTITIONED BY cluster_id, so a probe prunes whole files); the query
+    side (probe lists) is broadcast.  Iterative and therefore not
+    SQL-expressible — contract is the recall@k test vs bruteforce
+    (tests/test_round2_fixes.py)."""
+    from pyspark.sql import Window
+
+    centroids = kmeans_centroids(emb, k=n_clusters, iters=iters)
+    cand = assign_clusters(emb, centroids).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), F.col("cluster_id").alias("cc")
+    )
+    dists = F.array(*[_sqdist(F.col("embedding"), F.lit(c)) for c in centroids])
+    probe_ids = F.slice(
+        F.transform(F.array_sort(F.zip_with(dists, F.sequence(F.lit(0), F.lit(n_clusters - 1)),
+                                            lambda dv, i: F.struct(dv.alias("d"), i.alias("i")))),
+                    lambda s: s.getField("i")),
+        1, n_probe,
+    )
+    q = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+                F.explode(probe_ids).alias("probe_cluster"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, F.col("probe_cluster") == F.col("cc"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", F.round(_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 6))
+        .select("query_id", "cand_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
