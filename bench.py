@@ -35,6 +35,10 @@ HEADLINE = [
     "ngram_jaccard",
     "ann_cosine_topk",
     "ann_cosine_lsh",
+    "ann_cosine_ivf",
+    "dedup_embedding",
+    "data_url_source",
+    "pipeline_ops",
     "lang_id",
     "quality_score",
     "token_counts",

@@ -82,6 +82,15 @@ def fetch_via_pages_table(
     )
 
 
+def pick_user_agent(url: str, user_agents: list[str]) -> str:
+    """P9 — deterministic UA rotation: crc32(url) % len(UAs) replaces the
+    reference's random.choice (scraper.py:113-118) so reruns are
+    reproducible while still spreading agents across URLs."""
+    import zlib
+
+    return user_agents[zlib.crc32(url.encode()) % len(user_agents)]
+
+
 def fetch_http_batch(candidates: DataFrame, timeout: float = 10.0, user_agents: list[str] | None = None) -> DataFrame:
     """Real HTTP fetch as host-grouped Arrow batches (NOT exercised in this
     sandbox: no network, no ``requests``).  Kept as the production path —
@@ -105,8 +114,6 @@ def fetch_http_batch(candidates: DataFrame, timeout: float = 10.0, user_agents: 
     out_schema = StructType(list(candidates.schema.fields) + FETCH_COLS)
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
-        import zlib
-
         import requests
 
         session = requests.Session()
@@ -114,7 +121,7 @@ def fetch_http_batch(candidates: DataFrame, timeout: float = 10.0, user_agents: 
         htmls, statuses, fstat, errs = [], [], [], []
         for url in pdf["url"]:
             try:
-                ua = uas[zlib.crc32(url.encode()) % len(uas)]
+                ua = pick_user_agent(url, uas)
                 resp = session.get(url, timeout=timeout, headers={"User-Agent": ua})
                 body = resp.content or None
                 htmls.append(body)

@@ -122,6 +122,25 @@ def stream_sessionize(spark: SparkSession, events_dir: str, schema) -> DataFrame
     )
 
 
+def stream_dedup_exact(
+    spark: SparkSession, docs_dir: str, schema, ts_col: str = "ts", watermark: str = "24 hours"
+) -> DataFrame:
+    """Streaming exact dedup — the training-pipeline shape: documents arrive
+    continuously, only the FIRST occurrence of each content hash is emitted.
+
+    State is bounded by the watermark (``dropDuplicatesWithinWatermark``):
+    a key's dedup entry is dropped once event time passes ts + watermark,
+    so state size is (arrival rate × watermark), not the full corpus — the
+    only viable contract at 100 TB.  Duplicates farther apart than the
+    watermark are handled by the BATCH dedup over the accumulated table
+    (dedup_exact); stream + periodic batch compaction is the standard
+    lambda split for this operator."""
+    d = spark.readStream.schema(schema).parquet(docs_dir)
+    d = d.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    d = d.withColumn("text_hash", F.md5("text"))
+    return d.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["text_hash"])
+
+
 def run_to_memory(sdf: DataFrame, name: str, checkpoint: str, output_mode: str = "append"):
     """Drive a streaming DF with availableNow into an in-memory table;
     returns after the trigger drains (test/offline harness).  NOTE: the

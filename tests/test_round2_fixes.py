@@ -228,3 +228,14 @@ def test_retry_beyond_round_seconds_not_abandoned(spark):
     assert res.frontier.filter(F.col("status").isin("pending", "retry")).count() == 0
     failed_total = res.metrics.groupBy().sum("failed").collect()[0][0]
     assert failed_total == len(missing) * cfg.max_attempts
+
+
+def test_pick_user_agent_deterministic():
+    """P9 (scraper.py:113-118): deterministic UA rotation by url hash."""
+    from frontier_engine.fetch import pick_user_agent
+
+    uas = ["ua-a", "ua-b", "ua-c"]
+    u = "https://example.com/page1"
+    assert pick_user_agent(u, uas) == pick_user_agent(u, uas)  # stable
+    picks = {pick_user_agent(f"https://example.com/p{i}", uas) for i in range(50)}
+    assert picks == set(uas)  # rotation actually spreads across agents

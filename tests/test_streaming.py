@@ -86,3 +86,28 @@ def test_stream_sessionize(spark, events_dir, tmp_path):
     for r in rows[:5]:
         assert r.n_events >= 1
         assert r.session_start in by_user[r.user_id]
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """Watermark-bounded streaming dedup: only the first occurrence of each
+    content hash survives, including across triggers (checkpoint resume)."""
+    docs_dir, ckpt, out_dir = str(tmp_path / "docs"), str(tmp_path / "dk"), str(tmp_path / "dout")
+    batch1 = [(i, f"text {i % 5}", f"2024-01-01 00:{i:02d}:00") for i in range(10)]
+    spark.createDataFrame(batch1, "doc_id long, text string, ts string").write.parquet(docs_dir)
+    schema = "doc_id long, text string, ts string"
+    sdf = streaming.stream_dedup_exact(spark, docs_dir, schema, watermark="1 hour")
+    assert sdf.isStreaming
+    streaming.run_to_parquet(sdf, out_dir, ckpt)
+    first = spark.read.parquet(out_dir)
+    assert first.count() == 5  # 5 distinct texts
+    assert first.select("text_hash").distinct().count() == 5
+
+    # second trigger: same texts again within the watermark → all dropped,
+    # one genuinely-new text → emitted (state survived via the checkpoint)
+    batch2 = [(100 + i, f"text {i % 5}", f"2024-01-01 00:3{i}:00") for i in range(5)]
+    batch2.append((999, "brand new text", "2024-01-01 00:40:00"))
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(docs_dir)
+    streaming.run_to_parquet(streaming.stream_dedup_exact(spark, docs_dir, schema, watermark="1 hour"), out_dir, ckpt)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 6
+    assert out.filter(F.col("doc_id") == 999).count() == 1
