@@ -180,6 +180,11 @@ def run_crawl(
         timings.append((rnd, phase, round(time.perf_counter() - t0, 3)))
         return out
 
+    # bloom shards maintained INCREMENTALLY: full build once (resume or
+    # first use), then per-round OR-merge of the new_seen delta — O(delta)
+    # per round instead of O(total seen), the 10^10-regime requirement
+    bloom_shards: DataFrame | None = None
+
     for round_no in range(start_round, cfg.max_rounds):
         seen_df = seen_view()
         pending = frontier.filter((F.col("status").isin("pending", "retry")) & (F.col("not_before") <= F.lit(now)))
@@ -200,13 +205,12 @@ def run_crawl(
         rounds_run += 1
 
         # 2. URL-seen gate — exact anti-join, optional bloom pre-filter
-        shards = None
-        if cfg.use_bloom:
-            shards = seenmod.build_bloom_shards(
+        if cfg.use_bloom and bloom_shards is None:
+            bloom_shards = seenmod.build_bloom_shards(
                 seen_df, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits_per_shard
-            )
+            ).localCheckpoint(eager=True)
         unseen = seenmod.filter_unseen(
-            pending, seen_df, use_bloom=cfg.use_bloom, shards=shards, n_shards=cfg.bloom_shards
+            pending, seen_df, use_bloom=cfg.use_bloom, shards=bloom_shards, n_shards=cfg.bloom_shards
         )
 
         # 3-4. politeness: policy join, robots, per-host rank+quota
@@ -315,6 +319,13 @@ def run_crawl(
             seen_parts.append(store.read(round_no, "seen"))
             pages_parts.append(store.read(round_no, "pages"))
             metrics_parts.append(store.read(round_no, "metrics"))
+            if cfg.use_bloom and bloom_shards is not None:
+                # keep the standing bitmaps current — a stale filter would
+                # return false negatives for keys seen THIS round
+                delta = seenmod.build_bloom_shards(
+                    seen_parts[-1], n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits_per_shard
+                )
+                bloom_shards = seenmod.merge_shards(bloom_shards, delta).localCheckpoint(eager=True)
         else:
             # the three small-state checkpoints (seen delta, frontier,
             # metrics delta) are independent jobs — run them CONCURRENTLY so
@@ -322,13 +333,24 @@ def run_crawl(
             # page_rows is a projection of the already-checkpointed
             # `extracted`: no second write of the heavy bytes.
             t0 = time.perf_counter()
-            with ThreadPoolExecutor(max_workers=3) as pool:
+            with ThreadPoolExecutor(max_workers=4) as pool:
                 f_seen = pool.submit(lambda: new_seen.localCheckpoint(eager=True))
                 f_front = pool.submit(lambda: next_frontier.localCheckpoint(eager=True))
                 f_metrics = pool.submit(lambda: m.localCheckpoint(eager=True))
+                f_bloom = None
+                if cfg.use_bloom and bloom_shards is not None:
+                    # O(delta) incremental bloom: shard the round's new keys,
+                    # OR-merge into the standing bitmaps (same m_bits)
+                    delta = seenmod.build_bloom_shards(
+                        new_seen, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits_per_shard
+                    )
+                    merged = seenmod.merge_shards(bloom_shards, delta)
+                    f_bloom = pool.submit(lambda: merged.localCheckpoint(eager=True))
                 seen_parts.append(f_seen.result())
                 next_frontier = f_front.result()
                 metrics_parts.append(f_metrics.result())
+                if f_bloom is not None:
+                    bloom_shards = f_bloom.result()
             timings.append((round_no, "ckpt_small", round(time.perf_counter() - t0, 3)))
             pages_parts.append(page_rows)
 
@@ -385,6 +407,12 @@ def _expand_links(extracted: DataFrame, cfg: CrawlConfig, now: float) -> DataFra
         )
         .filter(valid_url_col(F.col("url")) & (F.col("depth") <= cfg.max_depth))
     )
+    # collapse duplicate RAW urls BEFORE the canonicalize UDF: nav links
+    # repeat across every page of a host, so this cuts Python-worker calls
+    # by the duplication factor (~10x on link-heavy corpora); partial
+    # (map-side) aggregation means the shuffle moves ~distinct urls, and
+    # sum-of-partial-sums preserves the OPIC contribution exactly
+    links = links.groupBy("url").agg(F.sum("contrib").alias("contrib"), F.min("depth").alias("depth"))
     links = links.withColumn("url_key", surt_key_udf("url")).filter(F.col("url_key").isNotNull())
     return (
         links.groupBy("url_key")

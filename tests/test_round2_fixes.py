@@ -239,3 +239,27 @@ def test_pick_user_agent_deterministic():
     assert pick_user_agent(u, uas) == pick_user_agent(u, uas)  # stable
     picks = {pick_user_agent(f"https://example.com/p{i}", uas) for i in range(50)}
     assert picks == set(uas)  # rotation actually spreads across agents
+
+
+def test_incremental_bloom_multiround_matches_exact(spark):
+    """Multi-round crawl with bloom ON exercises the incremental OR-merge
+    path (round 2+ probes merged deltas, not a fresh full build): the final
+    seen set must equal the bloom-OFF crawl's exactly — a stale or wrongly
+    merged filter would show up as re-crawled or missing keys."""
+    from frontier_engine.frontier import CrawlConfig, run_crawl
+    from frontier_engine.schema import PAGES
+
+    corpus = spark.createDataFrame(synth.gen_pages(200), schema=PAGES)
+    seeds = synth.parse_seed_lines(synth.gen_seed_lines(200, 120))
+    # small quota → many rounds → several merge generations
+    mk = lambda bloom: CrawlConfig(  # noqa: E731
+        round_seconds=30.0, max_rounds=100, use_bloom=bloom,
+        bloom_shards=8, bloom_bits_per_shard=1 << 14,
+        max_per_host_per_round=3,
+    )
+    with_bloom = run_crawl(spark, corpus, seeds, mk(True))
+    without = run_crawl(spark, corpus, seeds, mk(False))
+    assert with_bloom.rounds > 2  # the incremental path actually ran
+    sb = {r["url_key"] for r in with_bloom.seen.collect()}
+    se = {r["url_key"] for r in without.seen.collect()}
+    assert sb == se
