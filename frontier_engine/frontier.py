@@ -333,24 +333,31 @@ def run_crawl(
             # page_rows is a projection of the already-checkpointed
             # `extracted`: no second write of the heavy bytes.
             t0 = time.perf_counter()
-            with ThreadPoolExecutor(max_workers=4) as pool:
-                f_seen = pool.submit(lambda: new_seen.localCheckpoint(eager=True))
+            prev_shards = bloom_shards
+
+            def seen_then_bloom():
+                # chain the O(delta) bloom merge on the CHECKPOINTED seen
+                # delta — building it from the raw new_seen would re-run the
+                # dropDuplicates shuffle a second time in parallel
+                ck = new_seen.localCheckpoint(eager=True)
+                merged = None
+                if cfg.use_bloom and prev_shards is not None:
+                    delta = seenmod.build_bloom_shards(
+                        ck, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits_per_shard
+                    )
+                    merged = seenmod.merge_shards(prev_shards, delta).localCheckpoint(eager=True)
+                return ck, merged
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                f_seen = pool.submit(seen_then_bloom)
                 f_front = pool.submit(lambda: next_frontier.localCheckpoint(eager=True))
                 f_metrics = pool.submit(lambda: m.localCheckpoint(eager=True))
-                f_bloom = None
-                if cfg.use_bloom and bloom_shards is not None:
-                    # O(delta) incremental bloom: shard the round's new keys,
-                    # OR-merge into the standing bitmaps (same m_bits)
-                    delta = seenmod.build_bloom_shards(
-                        new_seen, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits_per_shard
-                    )
-                    merged = seenmod.merge_shards(bloom_shards, delta)
-                    f_bloom = pool.submit(lambda: merged.localCheckpoint(eager=True))
-                seen_parts.append(f_seen.result())
+                seen_ck, merged_shards = f_seen.result()
+                seen_parts.append(seen_ck)
+                if merged_shards is not None:
+                    bloom_shards = merged_shards
                 next_frontier = f_front.result()
                 metrics_parts.append(f_metrics.result())
-                if f_bloom is not None:
-                    bloom_shards = f_bloom.result()
             timings.append((round_no, "ckpt_small", round(time.perf_counter() - t0, 3)))
             pages_parts.append(page_rows)
 
