@@ -169,6 +169,9 @@ def run_pipeline(spark, spec: PipelineSpec, pages_corpus: DataFrame, dedup_order
     reference never enqueues) → select the extraction columns the flags ask
     for → ordered post-processing ops → optional export.  Returns the final
     DataFrame (the reference returns df.to_dict('records'))."""
+    from pyspark.sql import functions as F
+
+    from frontier_engine.extract import make_selectors_udf
     from frontier_engine.frontier import CrawlConfig, run_crawl
 
     # mode selects the fetch engine; in this sandbox only 'table' runs
@@ -176,11 +179,17 @@ def run_pipeline(spark, spec: PipelineSpec, pages_corpus: DataFrame, dedup_order
     get_fetcher(spec.scraper_mode)
     res = run_crawl(spark, pages_corpus, spec.urls, CrawlConfig(max_depth=0, round_seconds=1e9, max_rounds=1))
     cols = ["url", "url_key", "host", "text"]
+    pages = res.pages
+    if spec.selectors:
+        # E3: configured selector map → per-page parsed dict (scalar-collapse
+        # quirk included), as the reference's parser.parse_html(html, selectors)
+        pages = pages.withColumn("parsed", make_selectors_udf(spec.selectors)(F.col("html")))
+        cols.append("parsed")
     if spec.extract_links:
         cols.append("links")
     if spec.extract_images:
         cols.append("images")
     if spec.extract_metadata:
         cols.append("page_metadata")
-    df = res.pages.select(*cols)
+    df = pages.select(*cols)
     return run_post_processing(df, spec.post_processing, dedup_order_by=dedup_order_by or ["url_key"])

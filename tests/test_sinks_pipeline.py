@@ -230,6 +230,7 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
         {
             "urls": urls,
             "scraper_mode": "table",
+            "selectors": {"headline": "h1.title"},
             "extract_links": True,
             "extract_metadata": True,
             "post_processing": {
@@ -239,8 +240,11 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
         }
     )
     out = pipeline.run_pipeline(spark, spec, corpus)
-    assert set(["url", "text", "links", "page_metadata"]) <= set(out.columns)
+    assert set(["url", "text", "links", "page_metadata", "parsed"]) <= set(out.columns)
     assert out.count() == len(set(urls))
+    # E3 selector results flow through (scalar-collapse handled in refsem)
+    heads = [r["parsed"].get("headline") for r in out.select("parsed").collect()]
+    assert any(h and "eadline" in h for h in heads)
     back = spark.read.option("header", True).csv(str(tmp_path / "export_csv"))
     assert back.count() == out.count()
 
