@@ -22,7 +22,7 @@ helpers for the cheap pieces (host, naive parity resolution).
 from __future__ import annotations
 
 import re
-from urllib.parse import urlparse
+from urllib.parse import urlsplit
 
 import pandas as pd
 from pyspark.sql import Column
@@ -45,12 +45,59 @@ def _norm_pct(s: str) -> str:
     return _OTHER_PCT.sub(lambda m: "%" + m.group(1).upper(), s)
 
 
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments, implemented verbatim.
+
+    Unlike a split/filter/join, this PRESERVES empty segments and trailing
+    slashes: '/a//b' and '/a/' are distinct resources from '/a/b' and '/a',
+    and §6 normalization does not license merging them.  Output never
+    contains a pure '.' or '..' segment, so the function is idempotent.
+    """
+    out: list[str] = []
+    while path:
+        if path.startswith("../"):
+            path = path[3:]
+        elif path.startswith("./"):
+            path = path[2:]
+        elif path.startswith("/./"):
+            path = "/" + path[3:]
+        elif path == "/.":
+            path = "/"
+        elif path.startswith("/../"):
+            path = "/" + path[4:]
+            if out:
+                out.pop()
+        elif path == "/..":
+            path = "/"
+            if out:
+                out.pop()
+        elif path in (".", ".."):
+            path = ""
+        else:
+            i = path.find("/", 1)
+            if i == -1:
+                out.append(path)
+                path = ""
+            else:
+                out.append(path[:i])
+                path = path[i:]
+    return "".join(out)
+
+
 def canonical_url(url: str | None) -> str | None:
-    """RFC 3986-normalized absolute URL, fragment dropped."""
+    """RFC 3986-normalized absolute URL, fragment dropped.
+
+    Uses ``urlsplit`` (NOT ``urlparse``): urlparse splits ';params' off the
+    last path segment and a rebuild that forgets ``p.params`` silently drops
+    them, merging '/page;v=1' with '/page' and breaking idempotence
+    ('http://a.aa/;/' -> 'http://a.aa/;' -> 'http://a.aa/').  urlsplit keeps
+    the path byte-for-byte.  Idempotence is the contract the seen set and
+    frontier key on (tests/test_properties.py).
+    """
     if not url:
         return None
     try:
-        p = urlparse(url.strip())
+        p = urlsplit(url.strip())
     except ValueError:
         return None
     scheme = p.scheme.lower()
@@ -65,22 +112,14 @@ def canonical_url(url: str | None) -> str | None:
             port = f":{p.port}"
     except ValueError:
         return None
-    path = _norm_pct(p.path) or "/"
-    # collapse dot-segments (RFC 3986 §5.2.4)
-    segs: list[str] = []
-    for seg in path.split("/"):
-        if seg == "..":
-            if segs:
-                segs.pop()
-        elif seg != ".":
-            segs.append(seg)
-    path = "/" + "/".join(s for s in segs if s != "") if segs else "/"
-    if path == "":
-        path = "/"
+    path = _remove_dot_segments(_norm_pct(p.path)) or "/"
     query = ""
     if p.query:
-        parts = sorted(p.query.split("&"))
-        query = "?" + "&".join(_norm_pct(q) for q in parts if q)
+        # normalize BEFORE sorting: '%61' must sort as 'a', or the second
+        # canonicalization pass would reorder the already-normalized parts
+        parts = sorted(_norm_pct(q) for q in p.query.split("&") if q)
+        if parts:
+            query = "?" + "&".join(parts)
     return f"{scheme}://{host}{port}{path}{query}"
 
 
@@ -93,7 +132,7 @@ def surt_key(url: str | None) -> str | None:
     cu = canonical_url(url)
     if cu is None:
         return None
-    p = urlparse(cu)
+    p = urlsplit(cu)  # urlsplit: keep ';params' inside p.path (see canonical_url)
     host = p.hostname or ""
     rev = ",".join(reversed(host.split(".")))
     port = f":{p.port}" if p.port else ""

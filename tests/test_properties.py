@@ -25,6 +25,31 @@ _path_chars = st.text(
 _hosts = st.from_regex(r"[a-z][a-z0-9]{0,10}(\.[a-z]{2,6}){1,2}", fullmatch=True)
 
 
+def test_canonical_url_regressions():
+    """Explicit examples from the round-2 verdict: ';params' must survive
+    (urlparse would strip them), empty segments and trailing slashes are
+    distinct resources (RFC 3986 §6 does not license merging them)."""
+    # ;params survive and the result is a fixed point
+    assert canonical_url("http://a.aa/;/") == "http://a.aa/;/"
+    assert canonical_url("http://a.aa/page;v=1") == "http://a.aa/page;v=1"
+    assert canonical_url("http://a.aa/page;v=1") != canonical_url("http://a.aa/page")
+    # empty segments and trailing slash preserved
+    assert canonical_url("http://a.aa/a//b") == "http://a.aa/a//b"
+    assert canonical_url("http://a.aa/a/") == "http://a.aa/a/"
+    assert canonical_url("http://a.aa/a//b") != canonical_url("http://a.aa/a/b")
+    assert canonical_url("http://a.aa/a/") != canonical_url("http://a.aa/a")
+    # dot-segments still collapse per §5.2.4, keeping the trailing slash
+    assert canonical_url("http://a.aa/a/./b/../c/") == "http://a.aa/a/c/"
+    assert canonical_url("http://a.aa/../x") == "http://a.aa/x"
+    # query: normalization happens before the sort; all-empty query drops '?'
+    assert canonical_url("http://a.aa/?%61=1&Z=2") == "http://a.aa/?Z=2&a=1"
+    assert canonical_url("http://a.aa/?&&") == "http://a.aa/"
+    # all of the above are fixed points
+    for u in ("http://a.aa/;/", "http://a.aa/a//b", "http://a.aa/a/",
+              "http://a.aa/?Z=2&a=1", "http://a.aa/a/c/"):
+        assert canonical_url(u) == u
+
+
 @given(host=_hosts, path=_path_chars, scheme=st.sampled_from(["http", "https"]))
 @settings(max_examples=300, deadline=None)
 def test_canonical_url_idempotent(host, path, scheme):
