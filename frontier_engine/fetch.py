@@ -92,9 +92,11 @@ def pick_user_agent(url: str, user_agents: list[str]) -> str:
 
 
 def fetch_http_batch(candidates: DataFrame, timeout: float = 10.0, user_agents: list[str] | None = None) -> DataFrame:
-    """Real HTTP fetch as host-grouped Arrow batches (NOT exercised in this
-    sandbox: no network, no ``requests``).  Kept as the production path —
-    same output schema as fetch_via_pages_table.
+    """Real HTTP fetch as host-grouped Arrow batches.  In this sandbox
+    ``requests`` exists but there is no network, so every row becomes a P5
+    failure-row (exercised end-to-end by the pipeline fetcher-threading
+    test); the import-try guard covers environments without ``requests``.
+    Same output schema as fetch_via_pages_table.
 
     Per-host group semantics (mirrors the reference politely):
       * rows are fetched in host_rank order (the politeness sequence P8)

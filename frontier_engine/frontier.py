@@ -122,8 +122,13 @@ def run_crawl(
     config: CrawlConfig | None = None,
     host_policy: DataFrame | None = None,
     resume_store: SnapshotStore | None = None,
+    fetcher=None,
 ) -> CrawlResult:
+    """``fetcher(candidates, pages_corpus) -> DataFrame`` selects the fetch
+    engine (pipeline.get_fetcher's uniform interface); default is the
+    pages-table join (sandbox/test engine)."""
     cfg = config or CrawlConfig()
+    fetch = fetcher or fetch_via_pages_table
     store = resume_store or (SnapshotStore(spark, cfg.checkpoint_dir) if cfg.checkpoint_dir else None)
 
     empty_seen = spark.createDataFrame([], "url_key string, url string, content_hash string")
@@ -142,7 +147,23 @@ def run_crawl(
         frontier = store.read(last, "frontier")
         pages_parts = [store.read(r, "pages") for r in range(last + 1) if store.has(r, "pages")]
         seen_parts = [store.read(r, "seen") for r in range(last + 1) if store.has(r, "seen")]
-        metrics_parts = [store.read(r, "metrics") for r in range(last + 1) if store.has(r, "metrics")]
+        # metrics format is versioned in the manifest (ADVICE r2): v1
+        # snapshots (no 'metrics_format' key) stored CUMULATIVE metrics, so
+        # unioning every round would double-count — keep only the LAST
+        # cumulative table, then union the per-round deltas after it (a
+        # directory can legitimately mix: v1 rounds, resumed, then v2).
+        cum_last = None
+        delta_rounds: list[int] = []
+        for r in range(last + 1):
+            if not store.has(r, "metrics"):
+                continue
+            if store.manifest(r).get("metrics_format") == "delta":
+                delta_rounds.append(r)
+            else:
+                cum_last = r
+        metrics_parts = ([store.read(cum_last, "metrics")] if cum_last is not None else []) + [
+            store.read(r, "metrics") for r in delta_rounds if cum_last is None or r > cum_last
+        ]
         start_round = last + 1
     else:
         # eager checkpoint: the seed frontier is referenced by several
@@ -233,7 +254,7 @@ def run_crawl(
         # persist: fetched feeds the ok/extract path, the retry path, the
         # exhausted path and metrics — without it each branch recomputes the
         # whole candidate pipeline (bloom probe + joins + window)
-        fetched = fetch_via_pages_table(batch, pages_corpus).persist()
+        fetched = fetch(batch, pages_corpus).persist()
         ok = fetched.filter(F.col("fetch_status") == "fetched")
         extracted = with_extractions(
             ok.select(
@@ -311,7 +332,10 @@ def run_crawl(
                 lambda: store.commit_round(
                     round_no,
                     {"frontier": next_frontier, "seen": new_seen, "pages": page_rows, "metrics": m},
-                    extra={"virtual_now": now},
+                    # metrics_format versions the per-round-DELTA metrics
+                    # layout (v1 wrote cumulative tables; resume branches on
+                    # this key — see the resume block above)
+                    extra={"virtual_now": now, "metrics_format": "delta"},
                 ),
             )
             # re-read from the snapshot: truncates lineage, bounds plan growth

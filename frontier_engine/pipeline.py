@@ -81,11 +81,15 @@ def run_post_processing(df: DataFrame, post_cfg: dict, dedup_order_by: list[str]
 
     from frontier_engine.functions import op_deduplicate
 
-    # pandas drop_duplicates keeps the FIRST row in the CURRENT frame order
-    # (stable under prior sort ops) — track the declared sort so dedup
-    # respects it, with dedup_order_by as the stable tiebreak for ties /
-    # unsorted frames (SURVEY §7.4 determinism rule)
-    current_sort: list = []
+    # pandas drop_duplicates keeps the FIRST row in the CURRENT frame order.
+    # pandas sort_values is STABLE, so after two sequential sorts the frame
+    # order is (last sort, earlier sort as tiebreaker, original order) — the
+    # accumulated key list mirrors that exactly: each new sort becomes the
+    # PRIMARY key and the previous keys demote to tiebreakers (re-sorting an
+    # already-used column just promotes it).  dedup_order_by is the final
+    # stable tiebreak for rows tied on every declared sort (SURVEY §7.4
+    # determinism rule).
+    sort_keys: list[tuple[str, bool]] = []  # most-significant first
     for op in post_cfg.get("operations", []) or []:
         op_type = op.get("type")
         if op_type == "filter":
@@ -94,10 +98,20 @@ def run_post_processing(df: DataFrame, post_cfg: dict, dedup_order_by: list[str]
             col, asc = op.get("column"), op.get("ascending", True)
             df = op_sort(df, col, asc)
             if col in df.columns:
-                current_sort = [F.col(col).asc() if asc else F.col(col).desc()]
+                sort_keys = [(col, asc)] + [(c, a) for c, a in sort_keys if c != col]
         elif op_type == "deduplicate":
             cols = op.get("columns", []) or []
-            valid = [c for c in cols if c in df.columns] or list(df.columns)
+            valid = [c for c in cols if c in df.columns]
+            if cols and not valid:
+                # reference log-and-continue (src/main.py:195): a dedup op
+                # whose columns are all bad SKIPS, never full-row-dedups
+                warnings.warn(
+                    f"Deduplicate columns {cols} not in frame — skipping op", stacklevel=2
+                )
+                continue
+            if not valid:  # no subset configured → pandas default: all columns
+                valid = list(df.columns)
+            current_sort = [F.col(c).asc() if a else F.col(c).desc() for c, a in sort_keys]
             tiebreak = [F.col(c) for c in (dedup_order_by or valid)]
             df = op_deduplicate(df, valid, order_by=current_sort + tiebreak)
         else:
@@ -122,13 +136,21 @@ def run_post_processing(df: DataFrame, post_cfg: dict, dedup_order_by: list[str]
 _BROWSER_MODES = ("selenium", "scrapy", "pyppeteer", "playwright")
 
 
+def _http_fetcher(candidates: DataFrame, pages_corpus: DataFrame) -> DataFrame:
+    """fetch_http_batch under the normalized (candidates, corpus) fetcher
+    interface — the corpus argument is unused (real HTTP doesn't have one)."""
+    return fetch_http_batch(candidates)
+
+
 def get_fetcher(mode: str = "simple"):
-    """mode string → fetcher callable.  'table' is the sandbox/test engine
-    (fetch = join against the pages corpus); 'simple' is real HTTP; browser
-    modes map to 'simple' with a note; unknown modes warn + fall back."""
-    fetchers = {"table": fetch_via_pages_table, "simple": fetch_http_batch}
+    """mode string → fetcher callable with the uniform signature
+    ``fetcher(candidates, pages_corpus) -> DataFrame`` that run_crawl
+    invokes.  'table' is the sandbox/test engine (fetch = join against the
+    pages corpus); 'simple' is real HTTP; browser modes map to 'simple'
+    with a note; unknown modes warn + fall back."""
+    fetchers = {"table": fetch_via_pages_table, "simple": _http_fetcher}
     for m in _BROWSER_MODES:
-        fetchers[m] = fetch_http_batch
+        fetchers[m] = _http_fetcher
     if mode not in fetchers:
         warnings.warn(f"Mode {mode} not supported, falling back to simple mode", stacklevel=2)
         mode = "simple"
@@ -174,10 +196,15 @@ def run_pipeline(spark, spec: PipelineSpec, pages_corpus: DataFrame, dedup_order
     from frontier_engine.extract import make_selectors_udf
     from frontier_engine.frontier import CrawlConfig, run_crawl
 
-    # mode selects the fetch engine; in this sandbox only 'table' runs
-    # end-to-end (http modes raise on missing `requests` — S5 gating)
-    get_fetcher(spec.scraper_mode)
-    res = run_crawl(spark, pages_corpus, spec.urls, CrawlConfig(max_depth=0, round_seconds=1e9, max_rounds=1))
+    # mode selects the fetch engine AND run_crawl actually uses it (ADVICE
+    # r2: the selection used to be discarded); in this sandbox only 'table'
+    # runs end-to-end (http modes raise on missing `requests` — S5 gating)
+    fetcher = get_fetcher(spec.scraper_mode)
+    res = run_crawl(
+        spark, pages_corpus, spec.urls,
+        CrawlConfig(max_depth=0, round_seconds=1e9, max_rounds=1),
+        fetcher=fetcher,
+    )
     cols = ["url", "url_key", "host", "text"]
     pages = res.pages
     if spec.selectors:

@@ -37,10 +37,13 @@ def join_host_policy(frontier: DataFrame, host_policy: DataFrame | None) -> Data
 
 def robots_allowed(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Drop rows whose URL path starts with any deny prefix in
-    ``robots_rules`` (comma-separated).  Native expressions only: the rules
-    column is exploded lazily via ``exists`` over a split array — no UDF."""
+    ``robots_rules`` (NEWLINE-separated: a comma is legal inside a URL path
+    and would split one deny prefix into two bogus ones — ADVICE r2; a raw
+    newline cannot survive a robots.txt line value).  Native expressions
+    only: the rules column is exploded lazily via ``exists`` over a split
+    array — no UDF."""
     path = F.parse_url(F.col(url_col), F.lit("PATH"))
-    denies = F.filter(F.split(F.coalesce(F.col("robots_rules"), F.lit("")), ","), lambda d: d != "")
+    denies = F.filter(F.split(F.coalesce(F.col("robots_rules"), F.lit("")), "\n"), lambda d: d != "")
     blocked = F.exists(denies, lambda d: path.startswith(d))
     return df.filter(~F.coalesce(blocked, F.lit(False)))
 
@@ -53,8 +56,9 @@ def parse_robots_policy(
     ``agent``, preferring an exact user-agent group over the ``*`` group.
 
     Output feeds ``join_host_policy``/``robots_allowed`` unchanged:
-    Disallow path prefixes comma-joined (empty Disallow = allow-all and is
-    dropped), Crawl-delay honored when present, else the reference default.
+    Disallow path prefixes NEWLINE-joined (commas are legal in paths; empty
+    Disallow = allow-all and is dropped), Crawl-delay honored when present,
+    else the reference default.
 
     Engine shape: robots.txt is per HOST — a dim table even at web scale —
     so an Arrow-batched pandas UDF is the right tool here (stateful
@@ -109,7 +113,7 @@ def parse_robots_policy(
             return "", DEFAULT_CRAWL_DELAY
         denies = [d for g in chosen for d in g[1]]
         delays = [g[2] for g in chosen if g[2] is not None]
-        return ",".join(denies), (delays[0] if delays else DEFAULT_CRAWL_DELAY)
+        return "\n".join(denies), (delays[0] if delays else DEFAULT_CRAWL_DELAY)
 
     # struct-returning scalar pandas UDF: no type hints (the hint resolver
     # rejects Series → DataFrame; the untyped form dispatches correctly)

@@ -202,17 +202,40 @@ def filter_unseen(
     use_bloom: bool = False,
     shards: DataFrame | None = None,
     n_shards: int = 64,
+    prune_shard_col: str | None = None,
 ) -> DataFrame:
     """Rows of ``candidates`` whose key is NOT in ``seen`` — exact.
 
     With ``use_bloom``, bloom-negative rows bypass the shuffle-heavy exact
     anti-join; only bloom-positive rows (true hits + ~fp_rate noise) pay it.
     Either path returns the same rows (tested under injected-FP filters).
+
+    ``prune_shard_col``: name of a PHYSICAL shard column on ``seen`` whose
+    values equal ``pmod(xxhash64(key), n_shards)`` (e.g. the parquet
+    partition column of a shard-partitioned seen store).  When set, the
+    confirm join first restricts ``seen`` to the shards containing at least
+    one bloom-positive candidate — a driver-side collect of AT MOST
+    ``n_shards`` ints, never row data.  This is what makes bloom win at
+    10^10 keys: without it the confirm anti-join scans/shuffles the full
+    seen table every round no matter how thin the positive sliver is; with
+    a partitioned store the pruning skips whole files, so confirm cost
+    scales with the POSITIVE COUNT (quota-bounded), not the seen-set size.
+    Measured crossover: SCALE.md §bloom-crossover.
     """
     if not use_bloom or shards is None:
         return candidates.join(seen.select(key_col).distinct(), key_col, "left_anti")
     flagged = bloom_maybe_seen(candidates, shards, key_col, n_shards)
     negatives = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     positives = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-    confirmed_unseen = positives.join(seen.select(key_col).distinct(), key_col, "left_anti")
+    seen_side = seen
+    if prune_shard_col is not None:
+        pos_shards = [
+            r[0]
+            for r in with_shard_id(positives.select(key_col), key_col, n_shards)
+            .select("shard_id")
+            .distinct()
+            .collect()
+        ]
+        seen_side = seen.filter(F.col(prune_shard_col).isin(pos_shards))
+    confirmed_unseen = positives.join(seen_side.select(key_col).distinct(), key_col, "left_anti")
     return negatives.unionByName(confirmed_unseen)

@@ -16,6 +16,7 @@ targets matching 0/1/>1 elements, whitespace runs, entity refs.
 from __future__ import annotations
 
 import datetime as dt
+import math
 import random
 
 from frontier_engine import refsem
@@ -232,6 +233,36 @@ def parse_seed_lines(lines: list[str]) -> list[str]:
     return out
 
 
+def gen_clustered_embeddings(
+    n_clusters: int = 25, per_cluster: int = 21, dim: int = 64, seed: int = 45,
+    noise: float = 0.05,
+):
+    """Planted-neighbor embeddings (VERDICT r2 #4): a fixture where recall@k
+    has a SHARP expected answer.
+
+    Cluster c gets a deterministic random unit base vector; member j is
+    base + ``noise``·jitter, renormalized.  With 25 gaussian bases in
+    dim=64, inter-cluster |cosine| stays ≲0.4 w.h.p. while within-cluster
+    cosine ≈ 1/(1+noise²) ≈ 0.998 — so the exact cosine top-(per_cluster−1)
+    of ANY member is exactly its cluster mates, and ground truth for
+    recall@k is cluster membership, not a second ANN run.
+    vec_id = c·per_cluster + j.  Pure function of ``seed``.
+    """
+    rng = random.Random(seed)
+    rows = []
+    for c in range(n_clusters):
+        base = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        nb = math.sqrt(sum(x * x for x in base)) or 1.0
+        base = [x / nb for x in base]
+        for j in range(per_cluster):
+            v = [b + noise * rng.gauss(0.0, 1.0) for b in base]
+            nv = math.sqrt(sum(x * x for x in v)) or 1.0
+            rows.append(
+                {"vec_id": c * per_cluster + j, "embedding": [float(x / nv) for x in v]}
+            )
+    return rows
+
+
 def gen_host_policy(n_hosts: int = 20, seed: int = 44, parity: bool = False):
     """FIXTURES.md §B3 — per-host crawl delay + deny-prefix robots rules.
     parity=True reproduces the reference: fixed 3.0s delay, allow-all
@@ -244,6 +275,6 @@ def gen_host_policy(n_hosts: int = 20, seed: int = 44, parity: bool = False):
             rows.append({"host": h, "crawl_delay": 3.0, "robots_rules": ""})
         else:
             delay = rng.choice((0.5, 1.0, 3.0, 10.0))
-            deny = "/private/,/admin/" if rng.random() < 0.3 else ""
+            deny = "/private/\n/admin/" if rng.random() < 0.3 else ""
             rows.append({"host": h, "crawl_delay": delay, "robots_rules": deny})
     return rows

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import hashlib as _hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -206,6 +208,50 @@ def _plane_row(prefix: str, dim: int) -> list[float]:
     ]
 
 
+def _plane_matrix(n_tables: int, n_planes: int, dim: int):
+    """All n_tables·n_planes hyperplanes as ONE (T·P, dim) float64 matrix —
+    row t·P+p is ``_plane_row(f"{t},{p}", dim)`` (same md5 derivation,
+    deterministic across runs)."""
+    rows = [_plane_row(f"{t},{p}", dim) for t in range(n_tables) for p in range(n_planes)]
+    return np.asarray(rows, dtype=np.float64)
+
+
+def _bucket_udf(n_tables: int, n_planes: int, dim: int):
+    """Arrow-batched pandas UDF: embedding → array of n_tables bucket
+    strings (n_planes '0'/'1' sign bits each).
+
+    All T·P projections happen in ONE numpy gemm per Arrow batch
+    ((batch × dim) @ (dim × T·P) — BLAS, vectorized), replacing the
+    T·P independent zip_with/aggregate folds per row that dominated the
+    round-2 LSH query (VERDICT r2 'What's wrong': 5.4 s, 36 interpreted
+    folds/row).  This operator is oracle-less by design (probabilistic
+    recall), so there is no DuckDB bucket-parity constraint — only the
+    recall@k contract vs the exact bruteforce baseline, which both sides
+    of the join preserve because query and candidate buckets come from
+    the SAME deterministic matrix."""
+    from pyspark.sql.functions import pandas_udf
+
+    P_T = _plane_matrix(n_tables, n_planes, dim).T  # (dim, T·P)
+
+    @pandas_udf("array<string>")
+    def buckets(embs: pd.Series) -> pd.Series:
+        n = len(embs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        E = np.zeros((n, dim), dtype=np.float64)
+        for i, e in enumerate(embs):
+            v = np.nan_to_num(np.asarray(e, dtype=np.float64)[:dim])
+            E[i, : v.shape[0]] = v
+        bits = np.where((E @ P_T) > 0, "1", "0")
+        out = [
+            ["".join(row[t * n_planes : (t + 1) * n_planes]) for t in range(n_tables)]
+            for row in bits
+        ]
+        return pd.Series(out)
+
+    return buckets
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -275,39 +321,15 @@ def cosine_topk_lsh(
     """
     from pyspark.sql import Window
 
-    # planes precomputed driver-side (see _plane_row): plane (t, p) is ONE
-    # literal double array; bucket bit = sign of an ordered left-fold dot —
-    # dim multiplies per plane per row instead of dim md5 calls per plane
-    # per row.  The dim probe is a single-row job (uniform-dim schema
-    # contract); oversizing the literal instead costs n_tables·n_planes
-    # interpreted zip_with iterations per padded element per row.
+    # all T·P sign bits in one gemm per Arrow batch (see _bucket_udf); the
+    # dim probe is a single-row job (uniform-dim schema contract)
     max_dim = emb.select(F.size("embedding")).first()[0]
-
-    def bucket_of(e, t: int):
-        # n_planes sign bits of table t, as a '0110…' string
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(e),
-                        F.lit(_plane_row(f"{t},{p}", max_dim)),
-                        lambda x, pv: x.cast("double") * pv,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + F.coalesce(v, F.lit(0.0)),
-                )
-                > 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for p in range(n_planes)
-        ]
-        return F.concat(*bits)
+    buckets = _bucket_udf(n_tables, n_planes, max_dim)
 
     def probes_from_bucket(b, t: int):
         # [bucket, all Hamming-1 flips] of an ALREADY-MATERIALIZED bucket
         # string column — the flips are cheap substr ops over the string, so
-        # the expensive fold appears once per table in the plan, not
-        # (n_planes+1)× (plan analysis + codegen cost scales with tree size)
+        # the UDF runs once per row, not (n_planes+1)× per table
         flips = F.transform(
             F.sequence(F.lit(1), F.lit(n_planes)),  # 1-based bit position
             lambda i: F.concat(
@@ -324,14 +346,14 @@ def cosine_topk_lsh(
     qb = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
-        *[bucket_of("embedding", t).alias(f"__b{t}") for t in range(n_tables)],
+        buckets(F.col("embedding")).alias("__bk"),
     )
     q = (
         qb.select(
             "query_id",
             "qe",
             F.explode(
-                F.flatten(F.array(*[probes_from_bucket(F.col(f"__b{t}"), t) for t in range(n_tables)]))
+                F.flatten(F.array(*[probes_from_bucket(F.col("__bk")[t], t) for t in range(n_tables)]))
             ).alias("tp"),
         )
         .select("query_id", "qe", F.col("tp.table_id").alias("table_id"), F.col("tp.probe").alias("probe"))
@@ -339,7 +361,7 @@ def cosine_topk_lsh(
     cand = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("ce"),
-        F.posexplode(F.array(*[bucket_of("embedding", t) for t in range(n_tables)])).alias("ct", "cb"),
+        F.posexplode(buckets(F.col("embedding"))).alias("ct", "cb"),
     )
     scored = (
         F.broadcast(q)
@@ -403,6 +425,19 @@ def kmeans_centroids(emb: DataFrame, k: int = 16, iters: int = 3) -> list[list[f
     return centroids
 
 
+def build_ivf_index(emb: DataFrame, n_clusters: int = 16, iters: int = 3) -> list[list[float]]:
+    """One-time IVF index build: train the k-means coarse quantizer and
+    return the centroid matrix (k·dim floats — KBs at any corpus size).
+
+    Split out of the query path (VERDICT r2 #3): at scale the index is
+    built ONCE, the assignment is materialized (``assign_clusters`` with the
+    table partitioned by cluster_id so a probe prunes whole files), and many
+    queries amortize it.  bench.py reports this build as its own line
+    (``ann_ivf_build``) and times the registered query with prebuilt
+    centroids."""
+    return kmeans_centroids(emb, k=n_clusters, iters=iters)
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     query_ids: list[int],
@@ -410,6 +445,7 @@ def cosine_topk_ivf(
     n_clusters: int = 16,
     n_probe: int = 8,
     iters: int = 3,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN (the coarse-quantizer alternative to cosine_topk_lsh, per the
     driver mandate 'IVF or LSH'): k-means-partition the corpus once, then
@@ -422,10 +458,16 @@ def cosine_topk_ivf(
     PARTITIONED BY cluster_id, so a probe prunes whole files); the query
     side (probe lists) is broadcast.  Iterative and therefore not
     SQL-expressible — contract is the recall@k test vs bruteforce
-    (tests/test_round2_fixes.py)."""
+    (tests/test_round2_fixes.py).
+
+    Pass prebuilt ``centroids`` (from :func:`build_ivf_index`) to amortize
+    the training across queries; omitting it trains in-query (tests only).
+    """
     from pyspark.sql import Window
 
-    centroids = kmeans_centroids(emb, k=n_clusters, iters=iters)
+    if centroids is None:
+        centroids = build_ivf_index(emb, n_clusters=n_clusters, iters=iters)
+    n_clusters = len(centroids)
     cand = assign_clusters(emb, centroids).select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), F.col("cluster_id").alias("cc")
     )

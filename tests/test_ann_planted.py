@@ -1,0 +1,66 @@
+"""Planted-neighbor ANN fixture (VERDICT r2 #4): recall@k with a SHARP
+expected answer.
+
+synth.gen_clustered_embeddings plants 25 tight clusters of 21 unit vectors
+(within-cluster cosine ≈ 0.998, cross-cluster ≲ 0.4), so the exact cosine
+top-k of any member is exactly its cluster mates — ground truth is cluster
+MEMBERSHIP, not a second ANN run.  bench.py emits the same recalls into
+RECALL.json so the contract is machine-checkable next to CORRECTNESS.
+"""
+
+import pytest
+
+from frontier_engine import synth, textops
+
+PER = 21
+K = 10
+QIDS = [c * PER for c in range(5)]  # first member of the first 5 clusters
+MATES = {q: {q + j for j in range(1, PER)} for q in QIDS}
+
+
+@pytest.fixture(scope="module")
+def planted(spark, tmp_path_factory):
+    # parquet-backed (never a driver-local plan in the measured path)
+    p = str(tmp_path_factory.mktemp("planted") / "emb.parquet")
+    rows = synth.gen_clustered_embeddings(per_cluster=PER)
+    spark.createDataFrame(rows, schema="vec_id long, embedding array<float>").write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def _recall(df) -> float:
+    got: dict[int, set[int]] = {}
+    for r in df.select("query_id", "cand_id").collect():
+        got.setdefault(r[0], set()).add(r[1])
+    return sum(len(got.get(q, set()) & MATES[q]) for q in QIDS) / (len(QIDS) * K)
+
+
+def test_fixture_is_sharp(planted):
+    """The fixture's own guarantee: exact top-k of a member IS cluster
+    mates (validates the ground truth before it judges the ANN paths)."""
+    bf = textops.cosine_topk_bruteforce(planted, QIDS, k=K)
+    assert _recall(bf) == 1.0
+
+
+def test_lsh_recall_on_planted(planted):
+    """Near-identical vectors collide w.h.p. in at least one of the 6
+    tables (p_plane ≈ 0.98 at cos 0.998, + Hamming-1 probes): recall ≈ 1."""
+    assert _recall(textops.cosine_topk_lsh(planted, QIDS, k=K)) >= 0.9
+
+
+def test_ivf_recall_on_planted_with_prebuilt_index(planted):
+    """Tight planted clusters land in one k-means cell and the query's own
+    cell is always probed first — recall ≈ 1 with the PREBUILT index (the
+    registered build/query split, VERDICT r2 #3)."""
+    centroids = textops.build_ivf_index(planted)
+    assert _recall(textops.cosine_topk_ivf(planted, QIDS, k=K, centroids=centroids)) >= 0.9
+
+
+def test_ivf_prebuilt_matches_inquery(planted):
+    """Split correctness: prebuilt-centroid query == legacy in-query-train
+    path (same deterministic k-means, so identical results)."""
+    centroids = textops.build_ivf_index(planted, n_clusters=16, iters=3)
+    a = textops.cosine_topk_ivf(planted, QIDS, k=K, centroids=centroids)
+    b = textops.cosine_topk_ivf(planted, QIDS, k=K, n_clusters=16, iters=3)
+    rows_a = {tuple(r) for r in a.collect()}
+    rows_b = {tuple(r) for r in b.collect()}
+    assert rows_a == rows_b

@@ -54,6 +54,39 @@ def test_manifest_lineage(spark, corpus, seeds, tmp_path):
     assert {"round", "partition_id", "host", "fetched", "failed", "bytes"} <= cols
 
 
+def test_resume_v1_cumulative_metrics_not_double_counted(spark, corpus, seeds, tmp_path):
+    """ADVICE r2: a pre-delta-format checkpoint (manifest WITHOUT
+    'metrics_format') stored CUMULATIVE metrics — resume must read only the
+    last such table, not union every round (which double-counts).  New
+    rounds written after the resume are deltas and do union."""
+    root = str(tmp_path)
+    # write 2 real rounds, then rewrite their manifests as v1 (key removed)
+    # and their metrics tables as CUMULATIVE (round 1 = rounds 0+1)
+    run_crawl(spark, corpus, seeds, CrawlConfig(round_seconds=9.0, max_rounds=2, checkpoint_dir=root))
+    store = SnapshotStore(spark, root)
+    assert store.latest_round() == 1
+    m0 = store.read(0, "metrics")
+    cum1 = m0.unionByName(store.read(1, "metrics"))
+    total_fetched = sum(r.fetched for r in cum1.collect())
+    cum1_path = os.path.join(root, "rounds", "round_00001", "metrics")
+    cum1.localCheckpoint(eager=True).write.mode("overwrite").parquet(cum1_path)
+    for r in (0, 1):
+        mf = store.manifest(r)
+        assert mf.pop("metrics_format") == "delta"
+        with open(os.path.join(root, "rounds", f"round_{r:05d}", "manifest.json"), "w") as fh:
+            json.dump(mf, fh)
+    # resume for 1 more round: metrics_view must be cum@1 + delta@2 only
+    res = run_crawl(spark, corpus, seeds, CrawlConfig(round_seconds=9.0, max_rounds=3, checkpoint_dir=root))
+    per_round = {
+        r["round"]: r["fetched"]
+        for r in res.metrics.groupBy("round").agg(__import__("pyspark.sql.functions", fromlist=["sum"]).sum("fetched").alias("fetched")).collect()
+    }
+    # rounds 0+1 appear exactly once (from the cumulative table): their sum
+    # equals what the v1 writer recorded, with no double count
+    assert per_round.get(0, 0) + per_round.get(1, 0) == total_fetched
+    assert store.manifest(2).get("metrics_format") == "delta"
+
+
 def test_crashed_round_invisible(spark, corpus, seeds, tmp_path):
     """A round directory without a published manifest must be ignored."""
     root = str(tmp_path)

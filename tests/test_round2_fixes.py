@@ -171,7 +171,7 @@ def test_parse_robots_policy(spark):
         "host string, robots_txt string",
     )
     pol = {r["host"]: r for r in parse_robots_policy(df).collect()}
-    assert pol["a.com"]["robots_rules"] == "/private,/tmp"
+    assert pol["a.com"]["robots_rules"] == "/private\n/tmp"
     assert pol["a.com"]["crawl_delay"] == 7.5
     assert pol["b.com"]["robots_rules"] == "/y"  # '*' group when agent='*'
     assert pol["c.com"]["robots_rules"] == "" and pol["c.com"]["crawl_delay"] == DEFAULT_CRAWL_DELAY
@@ -184,6 +184,34 @@ def test_parse_robots_policy(spark):
     ).withColumn("host", F.lit("a.com"))
     gated = robots_allowed(join_host_policy(urls, parse_robots_policy(df)))
     assert [r["url"] for r in gated.collect()] == ["https://a.com/ok.html"]
+
+
+def test_robots_deny_prefix_with_comma(spark):
+    """ADVICE r2: commas are legal inside URL paths — a Disallow prefix
+    containing one must stay ONE rule (newline delimiter), not split into
+    two bogus prefixes that over-block."""
+    from frontier_engine.politeness import join_host_policy, parse_robots_policy, robots_allowed
+
+    df = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /a,b/\nDisallow: /c\n")],
+        "host string, robots_txt string",
+    )
+    pol = {r["host"]: r for r in parse_robots_policy(df).collect()}
+    assert pol["a.com"]["robots_rules"] == "/a,b/\n/c"
+    urls = spark.createDataFrame(
+        [
+            ("https://a.com/a,b/x.html",),  # blocked by the comma rule
+            ("https://a.com/b/x.html",),    # NOT blocked ('/b' is not a rule)
+            ("https://a.com/c/y.html",),    # blocked
+            ("https://a.com/ok.html",),
+        ],
+        "url string",
+    ).withColumn("host", F.lit("a.com"))
+    gated = robots_allowed(join_host_policy(urls, parse_robots_policy(df)))
+    assert sorted(r["url"] for r in gated.collect()) == [
+        "https://a.com/b/x.html",
+        "https://a.com/ok.html",
+    ]
 
 
 # ---------------------------------------------------------------------------

@@ -49,6 +49,24 @@ def test_bloom_fp_heavy_still_exact(dfs):
     assert keys == {f"com,ex)/{i}" for i in range(1, 1000, 2)}
 
 
+def test_bloom_shard_pruned_confirm_identical(dfs, spark, tmp_path):
+    """prune_shard_col: the confirm join over a shard-PARTITIONED seen store
+    (the 10^10 layout) must return exactly the exact-path answer — pruning
+    only skips shards that contain no bloom-positive candidate."""
+    seen, cands = dfs
+    n_shards = 8
+    store = str(tmp_path / "seen_store")
+    seenmod.with_shard_id(seen, "url_key", n_shards).write.partitionBy("shard_id").parquet(store)
+    seen_part = spark.read.parquet(store)
+    shards = seenmod.build_bloom_shards(seen, n_shards=n_shards)
+    out = seenmod.filter_unseen(
+        cands, seen_part, use_bloom=True, shards=shards, n_shards=n_shards,
+        prune_shard_col="shard_id",
+    )
+    keys = {r.url_key for r in out.collect()}
+    assert keys == {f"com,ex)/{i}" for i in range(1, 1000, 2)}
+
+
 def test_bloom_no_false_negatives(dfs):
     """Every key that IS in the filter must probe positive."""
     seen, _ = dfs

@@ -209,14 +209,76 @@ def test_yaml_load_and_site_merge(tmp_path):
 
 
 def test_fetcher_dispatch():
-    from frontier_engine.fetch import fetch_http_batch, fetch_via_pages_table
+    from frontier_engine.fetch import fetch_via_pages_table
 
     assert pipeline.get_fetcher("table") is fetch_via_pages_table
-    assert pipeline.get_fetcher("playwright") is fetch_http_batch  # S6-S9 → simple
+    assert pipeline.get_fetcher("playwright") is pipeline._http_fetcher  # S6-S9 → simple
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        assert pipeline.get_fetcher("nonsense") is fetch_http_batch
+        assert pipeline.get_fetcher("nonsense") is pipeline._http_fetcher
         assert any("falling back to simple" in str(x.message) for x in w)
+
+
+def test_run_pipeline_threads_fetcher(spark):
+    """ADVICE r2: the selected fetcher must actually reach run_crawl.
+    scraper_mode='simple' selects the HTTP fetcher; in this sandbox DNS
+    fails instantly, so every fetch is a P5 failure-row and ZERO pages come
+    back — while 'table' mode fetches the same URLs from the corpus.  If
+    the selection were still discarded, both modes would return pages."""
+    from frontier_engine import synth
+    from frontier_engine.schema import PAGES
+
+    corpus = spark.createDataFrame(synth.gen_pages(5), schema=PAGES)
+    urls = [r["url"] for r in corpus.select("url").limit(2).collect()]
+    via_table = pipeline.run_pipeline(
+        spark, pipeline.PipelineSpec.from_config({"urls": urls, "scraper_mode": "table"}), corpus
+    )
+    assert via_table.count() > 0
+    via_http = pipeline.run_pipeline(
+        spark, pipeline.PipelineSpec.from_config({"urls": urls, "scraper_mode": "simple"}), corpus
+    )
+    assert via_http.count() == 0  # all candidates failed over real (dead) HTTP
+
+
+def test_two_sequential_sorts_then_dedup_matches_pandas(spark):
+    """VERDICT r2 #7: later sort = primary key, earlier sorts = tiebreakers
+    (pandas stable-sort semantics), verified against the pandas oracle."""
+    pdf = pd.DataFrame(
+        {
+            "k":  [1,    1,    1,    2,    2,    2],
+            "a":  [3.0,  1.0,  3.0,  2.0,  2.0,  2.0],
+            "b":  [10.0, 20.0, 30.0, 40.0, 50.0, 40.0],
+            "__pos": [0, 1, 2, 3, 4, 5],
+        }
+    )
+    ref = (
+        pdf.sort_values(by="a", ascending=False, kind="stable")
+        .sort_values(by="b", ascending=True, kind="stable")
+        .drop_duplicates(subset=["k"])
+    )
+    cfg = {"operations": [
+        {"type": "sort", "column": "a", "ascending": False},
+        {"type": "sort", "column": "b", "ascending": True},
+        {"type": "deduplicate", "columns": ["k"]},
+    ]}
+    sdf = spark.createDataFrame(pdf, "k int, a double, b double, __pos long")
+    out = pipeline.run_post_processing(sdf, cfg, dedup_order_by=["__pos"])
+    got = {tuple(r) for r in out.collect()}
+    want = set(ref.itertuples(index=False, name=None))
+    assert got == want
+
+
+def test_dedup_all_missing_columns_skips(spark):
+    """ADVICE r2: a dedup op whose configured columns are ALL missing warns
+    and skips (reference log-and-continue) — it must NOT silently fall back
+    to full-row dedup and drop rows."""
+    sdf = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id int, tag string")
+    cfg = {"operations": [{"type": "deduplicate", "columns": ["nope", "missing"]}]}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = pipeline.run_post_processing(sdf, cfg)
+        assert any("skipping op" in str(x.message) for x in w)
+    assert out.count() == 3  # identical rows retained: op was skipped
 
 
 def test_run_pipeline_end_to_end(spark, tmp_path):
