@@ -24,8 +24,16 @@ fixed, so the crossover point is measurable:
 Method (spark-sandbox-performance): one JVM, interleaved trials, warm-up
 first, best-of-k per (path, size); never concurrent with another bench.
 
-Usage: python BENCH/run_bloom_crossover.py [sizes_csv] [n_candidates] [trials]
+Usage: python BENCH/run_bloom_crossover.py [sizes_csv] [n_candidates] [trials] [n_shards]
 Appends the crossover table to SCALE.md and prints one JSON line.
+
+Two regimes worth measuring (both in SCALE.md):
+* big rounds (200k candidates, 512 shards): positives hit every shard, so
+  the bloom win is purely the thinner confirm-join left side;
+* small selective rounds (5k candidates, 4096 shards): positives hit a
+  FRACTION of the shards, so shard pruning also skips most of the seen
+  store's files — the regime where confirm cost follows the positive
+  sliver.
 """
 
 from __future__ import annotations
@@ -56,10 +64,10 @@ def synth_keys(spark, n: int, offset: int = 0):
     )
 
 
-def build_store(spark, size: int) -> str:
-    store = f"/tmp/bloom_xover_seen_{size}"
+def build_store(spark, size: int, n_shards: int) -> str:
+    store = f"/tmp/bloom_xover_seen_{size}" + ("" if n_shards == 512 else f"_{n_shards}")
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
-        df = seenmod.with_shard_id(synth_keys(spark, size), "url_key", N_SHARDS)
+        df = seenmod.with_shard_id(synth_keys(spark, size), "url_key", n_shards)
         # repartition by the partition column: one file per shard dir, not
         # one file per (task, shard) pair
         df.repartition(64, "shard_id").write.mode("overwrite").partitionBy("shard_id").parquet(store)
@@ -71,6 +79,7 @@ def main():
                               ["1000000", "4000000", "16000000", "48000000"])]
     n_cand = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    n_shards = int(sys.argv[4]) if len(sys.argv) > 4 else N_SHARDS
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
 
     spark = get_spark(f"local[{cores}]", app_name="bloom-crossover",
@@ -79,7 +88,7 @@ def main():
 
     results = []
     for size in sizes:
-        store = build_store(spark, size)
+        store = build_store(spark, size, n_shards)
         seen = spark.read.parquet(store)
         # candidates: 10% re-discovered (keys 0..n/10 from the store), 90% new
         n_dup = n_cand // 10
@@ -94,7 +103,7 @@ def main():
         # one-time shard build (amortized in production via O(delta) merges)
         t0 = time.perf_counter()
         shards = seenmod.build_bloom_shards(
-            seen, n_shards=N_SHARDS, expected_per_shard=max(1024, int(size / N_SHARDS * 1.5))
+            seen, n_shards=n_shards, expected_per_shard=max(1024, int(size / n_shards * 1.5))
         ).localCheckpoint(eager=True)
         build_sec = round(time.perf_counter() - t0, 2)
 
@@ -107,7 +116,7 @@ def main():
         def run_bloom() -> float:
             t = time.perf_counter()
             n = seenmod.filter_unseen(
-                cand, seen, use_bloom=True, shards=shards, n_shards=N_SHARDS,
+                cand, seen, use_bloom=True, shards=shards, n_shards=n_shards,
                 prune_shard_col="shard_id",
             ).count()
             assert n == n_cand - n_dup, n
@@ -122,7 +131,7 @@ def main():
         print("ROW " + json.dumps(row), file=sys.stderr)
         shards.unpersist()
 
-    out = {"n_candidates": n_cand, "cores": cores, "n_shards": N_SHARDS, "rows": results}
+    out = {"n_candidates": n_cand, "cores": cores, "n_shards": n_shards, "rows": results}
     print(json.dumps(out))
 
     lines = "\n".join(
@@ -135,7 +144,7 @@ def main():
 ## Bloom crossover vs seen-set size (measured, round 3)
 
 Per-round URL-seen gate in isolation: {n_cand:,} candidates (10% already
-seen), seen store parquet-partitioned by shard_id ({N_SHARDS} shards),
+seen), seen store parquet-partitioned by shard_id ({n_shards} shards),
 local[{cores}], warm JVM, best-of-{trials}.  Bloom path = cogrouped shard
 probe, negatives skip, positives confirm against ONLY bloom-positive shards
 (`filter_unseen(prune_shard_col=...)` — partition pruning on the store).

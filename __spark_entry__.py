@@ -393,6 +393,18 @@ def q_ngram_jaccard(spark, sf):
     )
 
 
+def q_repetition_signals(spark, sf):
+    """Gopher-style repetition quality filters (top-n-gram fraction,
+    duplicate-trigram fraction) — LLM-corpus boilerplate/spam flags."""
+    return textops.repetition_signals(_t(spark, sf, "documents"))
+
+
+def q_winnow_fingerprints(spark, sf):
+    """Winnowing (MOSS) fingerprints: min-hash per sliding window of word
+    3-gram hashes — the robust shared-run near-dup primitive."""
+    return textops.winnow_fingerprints(_t(spark, sf, "documents"))
+
+
 def q_ann_cosine_topk(spark, sf):
     return textops.cosine_topk_bruteforce(_t(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=10)
 
@@ -508,6 +520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "repetition_signals": q_repetition_signals,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
@@ -527,6 +541,11 @@ _H60 = "(('0x' || substr(md5({x}), 1, 15))::bigint)"
 _SHINGLES3 = (
     "CASE WHEN len(toks) >= 3 THEN "
     "list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) "
+    "ELSE [] END"
+)
+_SHINGLES2 = (
+    "CASE WHEN len(toks) >= 2 THEN "
+    "list_transform(generate_series(1, len(toks) - 1), i -> array_to_string(toks[i:i+1], ' ')) "
     "ELSE [] END"
 )
 _EN_STOP = "('the','and','of','to','a','in','is','it','that','for')"
@@ -716,8 +735,11 @@ def oracle_sql() -> dict[str, str]:
             # shf mirrors the Spark df cap (max_docs_per_shingle=100):
             # stop-shingles with df > 100 are dropped from pair generation
             # (but NOT from per-doc sizes), exactly as in textops
+            # shingles hashed to 60-bit longs BEFORE the joins (mirrors the
+            # Spark-side _h60 shuffle-volume optimization bit-for-bit)
             "WITH t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
-            " sh AS (SELECT DISTINCT doc_id, unnest(" + _SHINGLES3 + ") AS sh FROM t),"
+            " sh0 AS (SELECT doc_id, unnest(" + _SHINGLES3 + ") AS s FROM t),"
+            " sh AS (SELECT DISTINCT doc_id, " + _H60.format(x="s") + " AS sh FROM sh0),"
             " sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),"
             " keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),"
             " shf AS (SELECT sh.doc_id, sh.sh FROM sh JOIN keep USING (sh)),"
@@ -726,6 +748,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_a, doc_b, round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard "
             "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
             "WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2"
+        ),
+        "repetition_signals": (
+            "WITH t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
+            " g2 AS (SELECT doc_id, unnest(" + _SHINGLES2 + ") AS g FROM t),"
+            " c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),"
+            " d2 AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM c2 GROUP BY 1),"
+            " g3 AS (SELECT doc_id, unnest(" + _SHINGLES3 + ") AS g FROM t),"
+            " c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),"
+            " d3 AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot, count(*) AS uniq FROM c3 GROUP BY 1)"
+            "SELECT d.doc_id,"
+            " coalesce(round(d2.mx / d2.tot, 6), 0.0) AS top_bigram_frac,"
+            " coalesce(round(d3.mx / d3.tot, 6), 0.0) AS top_trigram_frac,"
+            " coalesce(round((d3.tot - d3.uniq) / d3.tot, 6), 0.0) AS dup_trigram_frac "
+            "FROM documents d LEFT JOIN d2 USING (doc_id) LEFT JOIN d3 USING (doc_id)"
+        ),
+        "winnow_fingerprints": (
+            # windowed-min of the h60 shingle-hash sequence, mirrored: DuckDB
+            # list slice hs[i:i+3] is INCLUSIVE (4 elements = Spark slice(,4))
+            "WITH t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
+            " s AS (SELECT doc_id, " + _SHINGLES3 + " AS sh FROM t),"
+            " h AS (SELECT doc_id, list_transform(sh, x -> " + _H60.format(x="x") + ") AS hs FROM s),"
+            " w AS (SELECT doc_id, CASE"
+            "   WHEN len(hs) >= 4 THEN list_transform(generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))"
+            "   WHEN len(hs) > 0 THEN [list_min(hs)]"
+            "   ELSE [] END AS wins FROM h)"
+            "SELECT DISTINCT doc_id, unnest(wins) AS fingerprint FROM w"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2,3,4)),"

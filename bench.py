@@ -33,6 +33,8 @@ HEADLINE = [
     "lsh_pairs",
     "simhash",
     "ngram_jaccard",
+    "repetition_signals",
+    "winnow_fingerprints",
     "ann_cosine_topk",
     "ann_cosine_lsh",
     "ann_cosine_ivf",

@@ -225,6 +225,11 @@ def filter_unseen(
     if not use_bloom or shards is None:
         return candidates.join(seen.select(key_col).distinct(), key_col, "left_anti")
     flagged = bloom_maybe_seen(candidates, shards, key_col, n_shards)
+    if prune_shard_col is not None:
+        # flagged feeds three consumers (negatives, confirm join, and the
+        # driver-side shard-id collect) — materialize the quota-bounded set
+        # once or the probe cogroup re-runs per consumer
+        flagged = flagged.localCheckpoint(eager=True)
     negatives = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     positives = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     seen_side = seen
@@ -236,6 +241,7 @@ def filter_unseen(
             .distinct()
             .collect()
         ]
-        seen_side = seen.filter(F.col(prune_shard_col).isin(pos_shards))
+        if len(pos_shards) < n_shards:  # all shards hit → filter is a no-op
+            seen_side = seen.filter(F.col(prune_shard_col).isin(pos_shards))
     confirmed_unseen = positives.join(seen_side.select(key_col).distinct(), key_col, "left_anti")
     return negatives.unionByName(confirmed_unseen)

@@ -161,10 +161,17 @@ def ngram_jaccard_pairs(
     scale guard; at web scale these contribute pairs that other shingles
     also generate.  (Cap not applied when it would change small-scale
     oracle results — callers pass a high cap in oracle mode.)
+
+    Shingles are hashed to 60-bit longs (``_h60``, oracle-mirrorable)
+    BEFORE any shuffle: the inverted index and the same-shingle self-join
+    move 8-byte keys instead of ~n·word strings (~4× less shuffle volume —
+    the round-2 bench's dominant cost).  Collisions are 2^-60-rare,
+    deterministic, and identical in the DuckDB twin.
     """
     sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles_col(F.col("text"), shingle_n))).alias("sh")
-    )
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(F.col("text"), shingle_n))).alias("sh_str"),
+    ).select("doc_id", _h60(F.col("sh_str")).alias("sh"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     sh_f = sh.join(df_counts.filter(F.col("df") <= max_docs_per_shingle).select("sh"), "sh")
@@ -613,6 +620,72 @@ def token_counts(docs: DataFrame) -> DataFrame:
     ws = F.size(tokens_col(F.col("text"), lowercase=False))
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"), 0))
     return docs.select("doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_units"))
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, public
+    methodology): the fraction of all word bigrams/trigrams taken by the
+    single most frequent one, and the fraction of trigram OCCURRENCES that
+    are repeats.  High values flag boilerplate/spam for LLM-corpus
+    filtering.
+
+    Scale: explode n-grams → per-(doc, gram) count → per-doc max/sum —
+    two partial-aggregating groupBys, no joins wider than doc_id.  Docs too
+    short for an n-gram get 0.0 (left join + coalesce, mirrored in SQL).
+    """
+    out = docs.select("doc_id")
+    for n, label in ((2, "bigram"), (3, "trigram")):
+        grams = docs.select("doc_id", F.explode(shingles_col(F.col("text"), n)).alias("g"))
+        per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        per_doc = per_gram.groupBy("doc_id").agg(
+            F.max("c").alias("mx"),
+            F.sum("c").alias("tot"),
+            F.count(F.lit(1)).alias("uniq"),
+        )
+        cols = [F.round(F.col("mx") / F.col("tot"), 6).alias(f"top_{label}_frac")]
+        if n == 3:
+            cols.append(
+                F.round((F.col("tot") - F.col("uniq")) / F.col("tot"), 6).alias("dup_trigram_frac")
+            )
+        out = out.join(per_doc.select("doc_id", *cols), "doc_id", "left")
+    fill = {c: 0.0 for c in ("top_bigram_frac", "top_trigram_frac", "dup_trigram_frac")}
+    return out.fillna(fill).select(
+        "doc_id", "top_bigram_frac", "top_trigram_frac", "dup_trigram_frac"
+    )
+
+
+def winnow_fingerprints(docs: DataFrame, shingle_n: int = 3, window: int = 4) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    the MOSS local fingerprinting algorithm): hash every word ``shingle_n``-
+    gram, slide a window of ``window`` consecutive hashes, keep the minimum
+    per window, emit each doc's DISTINCT selected hashes.
+
+    Guarantee: any run of ``window + shingle_n − 1`` shared tokens between
+    two documents shares at least one fingerprint — the robust near-dup /
+    plagiarism primitive when full Jaccard is too expensive.  Docs shorter
+    than one window contribute their global min (docs with no shingle emit
+    nothing).
+
+    Scale: the hash sequence, the sliding windows and the per-window min
+    are ALL array expressions evaluated per row (no shuffle); the only
+    explode is over the selected mins (≈ one per window — a small fraction
+    of the shingle count), followed by nothing.  An inverted index /
+    self-join over these fingerprints is the cheap downstream candidate
+    generator (same shape as dedup_minhash_lsh's band join).
+    """
+    hseq = F.transform(shingles_col(F.col("text"), shingle_n), lambda s: _h60(s))
+    wins = (
+        F.when(
+            F.size(hseq) >= window,
+            F.transform(
+                F.sequence(F.lit(0), F.size(hseq) - window),
+                lambda i: F.array_min(F.slice(hseq, i + 1, window)),
+            ),
+        )
+        .when(F.size(hseq) > 0, F.array(F.array_min(hseq)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return docs.select("doc_id", F.explode(F.array_distinct(wins)).alias("fingerprint"))
 
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
