@@ -482,6 +482,64 @@ def q_ann_cosine_lsh(spark, sf):
     return textops.cosine_topk_lsh(_t(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=10)
 
 
+def _pii_enriched(d):
+    """documents.text carries no digits/PII by construction, so the PII
+    fixture is synthesized deterministically FROM the table itself (same
+    expression in the oracle): doc_id%3 docs get an email, %4 a phone,
+    %5 an IPv4 — non-vacuous counts, including multi-PII docs."""
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" call +1-555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    ((F.col("doc_id") * 7) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark, sf):
+    """PII detect + redact (email/phone/IPv4 counts, scrubbed text) — the
+    standard pre-training scrub pass, map-only at 100 TB."""
+    return textops.pii_scrub(_pii_enriched(_t(spark, sf, "documents")))
+
+
+def q_dedup_clusters(spark, sf):
+    """Near-dup CLUSTERS: MinHash-LSH candidate pairs grouped into connected
+    components (min-label propagation to fixpoint).  The oracle computes the
+    same components via a recursive-CTE transitive closure — fixpoints agree
+    regardless of iteration strategy."""
+    return textops.dedup_clusters(_t(spark, sf, "documents"))
+
+
+def q_tfidf_topterms(spark, sf):
+    """Top-3 TF-IDF terms per doc; integer output columns only (the float
+    score orders but is never emitted)."""
+    return textops.tfidf_topterms(_t(spark, sf, "documents"), k=3)
+
+
+_SAMPLE_RATES = {"en": 800, "zh": 500, "de": 400, "fr": 300, "es": 200}
+
+
+def q_sample_stratified(spark, sf):
+    """Deterministic per-language hash-bucket sampling (data mixing)."""
+    return textops.sample_stratified(_t(spark, sf, "documents"), _SAMPLE_RATES)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -531,6 +589,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_norms": q_embedding_norms,
+        "pii_scrub": q_pii_scrub,
+        "dedup_clusters": q_dedup_clusters,
+        "tfidf_topterms": q_tfidf_topterms,
+        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -852,6 +914,68 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": (
             "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> x::double * x::double))), 4) AS l2_norm "
             "FROM embeddings"
+        ),
+        "pii_scrub": (
+            # the enrichment mirrors _pii_enriched; scrub order email →
+            # phone → ipv4; patterns are the Java-regex/RE2 shared subset
+            "WITH enriched AS (SELECT doc_id, text"
+            " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::varchar || '@example.com' ELSE '' END"
+            " || CASE WHEN doc_id % 4 = 0 THEN ' call +1-555-' || lpad((doc_id % 10000)::varchar, 4, '0') ELSE '' END"
+            " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256)::varchar || '.' || ((doc_id * 7) % 256)::varchar ELSE '' END"
+            " AS text FROM documents)"
+            "SELECT doc_id,"
+            f" len(regexp_extract_all(text, '{textops.PII_PATTERNS['email']}')) AS n_emails,"
+            f" len(regexp_extract_all(text, '{textops.PII_PATTERNS['phone']}')) AS n_phones,"
+            f" len(regexp_extract_all(text, '{textops.PII_PATTERNS['ipv4']}')) AS n_ipv4s,"
+            f" regexp_replace(regexp_replace(regexp_replace(text,"
+            f" '{textops.PII_PATTERNS['email']}', '<EMAIL>', 'g'),"
+            f" '{textops.PII_PATTERNS['phone']}', '<PHONE>', 'g'),"
+            f" '{textops.PII_PATTERNS['ipv4']}', '<IP>', 'g') AS scrubbed "
+            "FROM enriched"
+        ),
+        "dedup_clusters": (
+            # same LSH band pairs as lsh_pairs, then connected components
+            # via recursive transitive closure (min reachable doc_id); the
+            # Spark side reaches the same fixpoint by label propagation
+            "WITH RECURSIVE t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
+            " sh AS (SELECT doc_id, unnest(" + _SHINGLES3 + ") AS sh FROM t),"
+            " salted AS (SELECT doc_id, unnest(generate_series(0, 7)) AS salt_id, sh FROM sh),"
+            " sig AS (SELECT doc_id, salt_id, min(" + _H60.format(x="salt_id::varchar || '|' || sh") + ") AS minhash"
+            "   FROM salted GROUP BY doc_id, salt_id),"
+            " bands AS (SELECT doc_id, (salt_id // 2) AS band_id,"
+            "   md5(array_to_string(list_sort(list(minhash::varchar)), ',')) AS band_hash"
+            "   FROM sig GROUP BY doc_id, (salt_id // 2)),"
+            " pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+            "   FROM bands a JOIN bands b USING (band_id, band_hash) WHERE a.doc_id < b.doc_id),"
+            " sym AS (SELECT doc_a AS node, doc_b AS nbr FROM pairs"
+            "   UNION SELECT doc_b AS node, doc_a AS nbr FROM pairs),"
+            " reach(node, r) AS ("
+            "   SELECT node, node FROM (SELECT DISTINCT node FROM sym)"
+            "   UNION"
+            "   SELECT s.node, re.r FROM sym s JOIN reach re ON re.node = s.nbr),"
+            " lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),"
+            " sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)"
+            "SELECT node AS doc_id, cluster_id, cluster_size FROM lab JOIN sz USING (cluster_id)"
+        ),
+        "tfidf_topterms": (
+            "WITH t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
+            " term AS (SELECT doc_id, unnest(toks) AS term FROM t),"
+            " tf AS (SELECT doc_id, term, count(*) AS tf FROM term WHERE term <> '' GROUP BY 1, 2),"
+            " df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),"
+            " n AS (SELECT count(*) AS n FROM documents),"
+            " scored AS (SELECT doc_id, term, tf, df, tf * ln(n::double / df) AS score"
+            "   FROM tf JOIN df USING (term), n)"
+            "SELECT doc_id, term, tf, df, rank FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank"
+            "  FROM scored) WHERE rank <= 3"
+        ),
+        "sample_stratified": (
+            "SELECT doc_id, lang, bucket FROM ("
+            " SELECT doc_id, lang,"
+            "  (('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint) % 1000 AS bucket,"
+            "  CASE lang WHEN 'en' THEN 800 WHEN 'zh' THEN 500 WHEN 'de' THEN 400"
+            "   WHEN 'fr' THEN 300 WHEN 'es' THEN 200 ELSE 0 END AS rate"
+            " FROM documents) WHERE bucket < rate"
         ),
         # ann_cosine_lsh / ann_cosine_ivf: intentionally no oracle
         # (probabilistic recall / iterative) — recall@k pytest contracts

@@ -35,6 +35,10 @@ HEADLINE = [
     "ngram_jaccard",
     "repetition_signals",
     "winnow_fingerprints",
+    "dedup_clusters",
+    "tfidf_topterms",
+    "pii_scrub",
+    "sample_stratified",
     "ann_cosine_topk",
     "ann_cosine_lsh",
     "ann_cosine_ivf",

@@ -697,3 +697,181 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.substring(F.md5(norm), 1, 10).alias("short_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the syntax subset shared by Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, non-capturing groups,
+# \b word boundaries — no backreferences, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+PII_REPLACEMENTS = {"email": "<EMAIL>", "phone": "<PHONE>", "ipv4": "<IP>"}
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction over a text column: per-document counts of
+    emails / phone numbers / IPv4 addresses and the scrubbed text with each
+    match replaced by a typed placeholder (applied email → phone → ipv4, the
+    order mirrored in the SQL twin).
+
+    The standard pre-training scrub step (e.g. the public BigScience / ROOTS
+    and Dolma pipelines redact exactly these three classes with regexes).
+
+    Scale: pure per-row regexp expressions inside whole-stage codegen — no
+    shuffle, no Python.  At 100 TB this is a map-only pass that pushes the
+    text-column scan down to parquet.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}s")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    scrubbed = t
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, PII_REPLACEMENTS[name])
+    return docs.select("doc_id", *counts, scrubbed.alias("scrubbed"))
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components over an undirected edge list (``doc_a``,
+    ``doc_b``) by min-label propagation to a fixpoint: every node ends up
+    labeled with the smallest doc_id reachable from it.
+
+    This is what turns pairwise near-dup CANDIDATES (dedup_minhash_lsh /
+    ngram_jaccard_pairs / dedup_embedding_cosine output) into dedup
+    DECISIONS: one cluster per near-dup group, keep the representative
+    (min doc_id), drop the rest.
+
+    Scale: each iteration is one join on the symmetrized edge list + one
+    min-aggregation — the Pregel CC recipe; rounds = graph diameter, and
+    near-dup graphs are union-of-cliques-ish (tiny diameter, 2-4 rounds).
+    Lineage is cut with localCheckpoint per round so the plan stays O(1);
+    convergence is an exact changed-row count (no heuristics).  For
+    pathological high-diameter graphs swap in large-star/small-star
+    (Kiveris et al. 2014) — same join primitive, O(log n) rounds.
+
+    Output: (doc_id, cluster_id, cluster_size) for every node that appears
+    in at least one edge.
+    """
+    sym = edges.select(
+        F.col("doc_a").cast("long").alias("node"), F.col("doc_b").cast("long").alias("nbr")
+    ).union(
+        edges.select(F.col("doc_b").cast("long").alias("node"), F.col("doc_a").cast("long").alias("nbr"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = sym.select("node").distinct().withColumn("label", F.col("node"))
+    for _ in range(max_iters):
+        nb_min = (
+            sym.join(labels.select(F.col("node").alias("nbr"), "label"), "nbr")
+            .groupBy("node")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb_min, "node", "left")
+            .select("node", F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+def dedup_clusters(docs: DataFrame, n_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """MinHash-LSH near-dup clusters: candidate pairs from
+    dedup_minhash_lsh, grouped into connected components.  The full dedup
+    decision pipeline: keep ``doc_id == cluster_id`` rows, drop the rest."""
+    return connected_components(dedup_minhash_lsh(docs, n_hashes=n_hashes, band_size=band_size))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def tfidf_topterms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (keyword extraction /
+    quality-signal primitive): score = tf · ln(N / df), ranked per doc with
+    a deterministic tiebreak (score desc, term asc).
+
+    Output columns are INTEGERS only (tf, df, rank) — the float score is
+    used for ordering but never emitted, so cross-engine value hashing never
+    touches float formatting.  tf/df/N are exact integers in both engines
+    and ln is the same libm double, so the ordering agrees.
+
+    Scale: explode → per-(doc,term) count (partial agg) → per-term df
+    (partial agg) → shuffle join on term → per-doc window.  The inverted-
+    index shape; the window is WindowGroupLimit-able (rank ≤ k pushes the
+    top-k into the sort).
+    """
+    n_docs = docs.count()  # scalar literal; the oracle uses COUNT(*) the same way
+    terms = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (data mixing)
+# ---------------------------------------------------------------------------
+
+
+def sample_stratified(
+    docs: DataFrame,
+    rates_permille: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_permille: int = 0,
+) -> DataFrame:
+    """Deterministic hash-bucket sampling with a per-stratum keep rate
+    (standard corpus data-mixing step: up/down-weight languages or sources
+    reproducibly).  A row is kept iff ``h60(md5(id)) % 1000 < rate`` for its
+    stratum — the same row set on every run, every engine, every cluster
+    size, with no RNG state.
+
+    Scale: map-only filter on a hash of the id column — no shuffle, no
+    sort, prunes at the scan.  Changing the mix = changing literals, not
+    reshuffling data.
+    """
+    bucket = _h60(F.col(id_col).cast("string")) % 1000
+    rate = None
+    for key, permille in sorted(rates_permille.items()):
+        cond = F.when(F.col(stratum_col) == key, F.lit(permille))
+        rate = cond if rate is None else rate.when(F.col(stratum_col) == key, F.lit(permille))
+    rate = rate.otherwise(F.lit(default_permille)) if rate is not None else F.lit(default_permille)
+    return docs.withColumn("bucket", bucket).filter(F.col("bucket") < rate).select(
+        id_col, stratum_col, "bucket"
+    )

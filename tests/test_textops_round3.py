@@ -71,3 +71,125 @@ def test_ngram_jaccard_hashed_keys_match_string_semantics(spark):
     pairs = {(r["doc_a"], r["doc_b"]) for r in
              textops.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
     assert pairs == {(0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "reach me at jo.doe+spam@mail.example.org or +1-555-0199 now"),
+            (1, "server 192.168.1.7 and backup 10.0.0.254 hold the data"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.io c@d.co one ip 8.8.8.8"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in textops.pii_scrub(docs).collect()}
+    assert (out[0]["n_emails"], out[0]["n_phones"], out[0]["n_ipv4s"]) == (1, 1, 0)
+    assert out[0]["scrubbed"] == "reach me at <EMAIL> or <PHONE> now"
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ipv4s"]) == (0, 0, 2)
+    assert out[1]["scrubbed"] == "server <IP> and backup <IP> hold the data"
+    assert (out[2]["n_emails"], out[2]["n_phones"], out[2]["n_ipv4s"]) == (0, 0, 0)
+    assert out[2]["scrubbed"] == "no pii here at all"
+    assert (out[3]["n_emails"], out[3]["n_ipv4s"]) == (2, 1)
+    assert out[3]["scrubbed"] == "two mails <EMAIL> <EMAIL> one ip <IP>"
+
+
+# ---------------------------------------------------------------------------
+# connected components / dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def test_connected_components_two_clusters(spark):
+    out = textops.connected_components(_edges(spark, [(1, 2), (2, 3), (5, 6)]))
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in out.collect()}
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 5: (5, 2), 6: (5, 2)}
+
+
+def test_connected_components_chain_needs_propagation(spark):
+    """A diameter-5 chain forces several propagation rounds; the fixpoint
+    must still label every node with the chain minimum."""
+    out = textops.connected_components(
+        _edges(spark, [(10, 9), (9, 8), (8, 7), (7, 6), (6, 5)])
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {n: 5 for n in range(5, 11)}
+
+
+def test_dedup_clusters_exact_dups_cluster_together(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(
+        spark,
+        [(0, base), (1, base), (2, base + " extra"), (3, "совсем other unrelated words entirely different text here")],
+    )
+    out = textops.dedup_clusters(docs)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    # exact duplicates must share a cluster rooted at the min doc_id
+    assert got[0] == 0 and got[1] == 0
+    # the unrelated doc never joins that cluster
+    assert got.get(3, 3) != 0 or 3 not in got
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_topterms_ranking_and_ties(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "apple apple banana shared"),
+            (1, "banana banana cherry shared"),
+            (2, "cherry cherry apple shared"),
+        ],
+    )
+    out = textops.tfidf_topterms(docs, k=2)
+    rows = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"]) for r in out.collect()}
+    # 'shared' has df=3 → idf=ln(1)=0 → score 0: never outranks tf=1 df=2 terms
+    assert rows[(0, 1)] == ("apple", 2, 2)   # tf=2, df=2: score 2·ln(1.5)
+    assert rows[(0, 2)] == ("banana", 1, 2)  # tie between banana/shared broken by score
+    assert rows[(1, 1)] == ("banana", 2, 2)
+    assert rows[(2, 1)] == ("cherry", 2, 2)
+    assert all(rank <= 2 for (_, rank) in rows)
+
+
+def test_tfidf_tiebreak_term_asc(spark):
+    # identical tf/df for 'aa' and 'bb' → equal scores → term asc breaks it
+    docs = _docs(spark, [(0, "aa bb"), (1, "aa bb cc")])
+    out = textops.tfidf_topterms(docs, k=3)
+    r0 = sorted(
+        ((r["rank"], r["term"]) for r in out.collect() if r["doc_id"] == 0)
+    )
+    assert r0 == [(1, "aa"), (2, "bb")]
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_sample_stratified_deterministic_and_monotonic(spark):
+    rows = [(i, f"text {i}", ["en", "fr"][i % 2]) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    low = textops.sample_stratified(docs, {"en": 200, "fr": 100})
+    ids_low = {r["doc_id"] for r in low.collect()}
+    ids_low2 = {r["doc_id"] for r in low.collect()}
+    assert ids_low == ids_low2, "hash sampling must be deterministic"
+    high = textops.sample_stratified(docs, {"en": 600, "fr": 300})
+    ids_high = {r["doc_id"] for r in high.collect()}
+    assert ids_low <= ids_high, "raising the rate must only ADD rows"
+    # rate 0 stratum (default) drops everything in it
+    en_only = textops.sample_stratified(docs, {"en": 1000})
+    assert {r["lang"] for r in en_only.collect()} == {"en"}
+    # keep fraction lands near the configured permille (hash uniformity)
+    n_en = sum(1 for r in low.collect() if r["lang"] == "en")
+    assert 20 <= n_en <= 60  # 200 docs × 20% ± slack
