@@ -128,7 +128,11 @@ def load_history(pages: int) -> list[dict]:
                 line = line.strip()
                 if line:
                     r = json.loads(line)
-                    if r.get("corpus_pages") == pages:
+                    # rows flagged contaminated (known concurrent load on the
+                    # shared host during the sweep, reason recorded in the row)
+                    # stay in the file for the record but don't enter the
+                    # median — they measure the neighbors, not the engine
+                    if r.get("corpus_pages") == pages and not r.get("contaminated"):
                         runs.append(r)
     return runs
 
@@ -193,6 +197,9 @@ each row is an independent fresh-JVM pair, warm-up + best-of-trials):
 gate number.  The 4N wall time is stable across sweeps (spread ~10%) while
 the N=2 side swings ~25%: shared-host noise lands in the low-parallelism
 denominator, so any single sweep is a noisy draw of the same engine.
+Rows flagged `contaminated` in scaling_runs.jsonl (known concurrent load
+during the sweep, reason recorded in the row) are kept for the record but
+excluded from the median.
 
 Phase wall-times (seconds, best trial of the latest sweep):
 

@@ -612,6 +612,35 @@ _SHINGLES2 = (
 )
 _EN_STOP = "('the','and','of','to','a','in','is','it','that','for')"
 
+# MinHash signature CTE chain (mirrors textops.minhash_signatures
+# bit-for-bit: one md5 per shingle → x = h60 mod P, salt s's value =
+# (a_s*(1+x) + b_s) mod P with the same deterministic coefficients;
+# products < 2^62, no int64 overflow)
+_MH_SALTS = ", ".join(
+    f"({s}, {a}, {b})" for s, (a, b) in enumerate(textops.minhash_coefficients(8))
+)
+_MH_P = textops.MINHASH_PRIME
+_MH_B = textops._ROLL_B
+_SIG_CTES = (
+    " t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
+    " hx AS (SELECT doc_id, list_transform(toks, tk -> "
+    + _H60.format(x="tk") + f" % {_MH_P}) AS hs FROM t),"
+    " wins AS (SELECT doc_id, CASE WHEN len(hs) >= 3 THEN"
+    f"   list_transform(generate_series(1, len(hs) - 2),"
+    f"     i -> ((hs[i] * {_MH_B} + hs[i+1]) % {_MH_P} * {_MH_B} + hs[i+2]) % {_MH_P})"
+    "   ELSE [] END AS ws FROM hx),"
+    " xs AS (SELECT doc_id, unnest(ws) AS x FROM wins),"
+    f" salts(salt_id, a, b) AS (VALUES {_MH_SALTS}),"
+    " salted AS (SELECT doc_id, salt_id, a, b, x FROM xs CROSS JOIN salts),"
+    f" sig AS (SELECT doc_id, salt_id, min((a * (1 + x) + b) % {_MH_P}) AS minhash"
+    "   FROM salted GROUP BY doc_id, salt_id)"
+)
+_BANDS_CTE = (
+    " bands AS (SELECT doc_id, (salt_id // 2) AS band_id,"
+    "   md5(array_to_string(list_sort(list(minhash::varchar)), ',')) AS band_hash"
+    "   FROM sig GROUP BY doc_id, (salt_id // 2))"
+)
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -767,21 +796,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY md5(text)"
         ),
         "minhash_signatures": (
-            "WITH t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
-            " sh AS (SELECT doc_id, unnest(" + _SHINGLES3 + ") AS sh FROM t),"
-            " salted AS (SELECT doc_id, unnest(generate_series(0, 7)) AS salt_id, sh FROM sh)"
-            "SELECT doc_id, salt_id, min(" + _H60.format(x="salt_id::varchar || '|' || sh") + ") AS minhash "
-            "FROM salted GROUP BY doc_id, salt_id"
+            "WITH" + _SIG_CTES + " SELECT doc_id, salt_id, minhash FROM sig"
         ),
         "lsh_pairs": (
-            "WITH t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
-            " sh AS (SELECT doc_id, unnest(" + _SHINGLES3 + ") AS sh FROM t),"
-            " salted AS (SELECT doc_id, unnest(generate_series(0, 7)) AS salt_id, sh FROM sh),"
-            " sig AS (SELECT doc_id, salt_id, min(" + _H60.format(x="salt_id::varchar || '|' || sh") + ") AS minhash"
-            "   FROM salted GROUP BY doc_id, salt_id),"
-            " bands AS (SELECT doc_id, (salt_id // 2) AS band_id,"
-            "   md5(array_to_string(list_sort(list(minhash::varchar)), ',')) AS band_hash"
-            "   FROM sig GROUP BY doc_id, (salt_id // 2))"
+            "WITH" + _SIG_CTES + "," + _BANDS_CTE +
             "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
             "FROM bands a JOIN bands b USING (band_id, band_hash) WHERE a.doc_id < b.doc_id"
         ),
@@ -826,15 +844,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN d2 USING (doc_id) LEFT JOIN d3 USING (doc_id)"
         ),
         "winnow_fingerprints": (
-            # windowed-min of the h60 shingle-hash sequence, mirrored: DuckDB
-            # list slice hs[i:i+3] is INCLUSIVE (4 elements = Spark slice(,4))
+            # windowed-min of the rolling numeric shingle-hash sequence
+            # (same roll as _SIG_CTES), mirrored: DuckDB list slice
+            # sh[i:i+3] is INCLUSIVE (4 elements = Spark slice(,4))
             "WITH t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
-            " s AS (SELECT doc_id, " + _SHINGLES3 + " AS sh FROM t),"
-            " h AS (SELECT doc_id, list_transform(sh, x -> " + _H60.format(x="x") + ") AS hs FROM s),"
+            " hx AS (SELECT doc_id, list_transform(toks, tk -> "
+            + _H60.format(x="tk") + f" % {_MH_P}) AS hs FROM t),"
+            " s AS (SELECT doc_id, CASE WHEN len(hs) >= 3 THEN"
+            f"   list_transform(generate_series(1, len(hs) - 2),"
+            f"     i -> ((hs[i] * {_MH_B} + hs[i+1]) % {_MH_P} * {_MH_B} + hs[i+2]) % {_MH_P})"
+            "   ELSE [] END AS sh FROM hx),"
             " w AS (SELECT doc_id, CASE"
-            "   WHEN len(hs) >= 4 THEN list_transform(generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))"
-            "   WHEN len(hs) > 0 THEN [list_min(hs)]"
-            "   ELSE [] END AS wins FROM h)"
+            "   WHEN len(sh) >= 4 THEN list_transform(generate_series(1, len(sh) - 3), i -> list_min(sh[i:i+3]))"
+            "   WHEN len(sh) > 0 THEN [list_min(sh)]"
+            "   ELSE [] END AS wins FROM s)"
             "SELECT DISTINCT doc_id, unnest(wins) AS fingerprint FROM w"
         ),
         "ann_cosine_topk": (
@@ -937,14 +960,7 @@ def oracle_sql() -> dict[str, str]:
             # same LSH band pairs as lsh_pairs, then connected components
             # via recursive transitive closure (min reachable doc_id); the
             # Spark side reaches the same fixpoint by label propagation
-            "WITH RECURSIVE t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
-            " sh AS (SELECT doc_id, unnest(" + _SHINGLES3 + ") AS sh FROM t),"
-            " salted AS (SELECT doc_id, unnest(generate_series(0, 7)) AS salt_id, sh FROM sh),"
-            " sig AS (SELECT doc_id, salt_id, min(" + _H60.format(x="salt_id::varchar || '|' || sh") + ") AS minhash"
-            "   FROM salted GROUP BY doc_id, salt_id),"
-            " bands AS (SELECT doc_id, (salt_id // 2) AS band_id,"
-            "   md5(array_to_string(list_sort(list(minhash::varchar)), ',')) AS band_hash"
-            "   FROM sig GROUP BY doc_id, (salt_id // 2)),"
+            "WITH RECURSIVE" + _SIG_CTES + "," + _BANDS_CTE + ","
             " pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
             "   FROM bands a JOIN bands b USING (band_id, band_hash) WHERE a.doc_id < b.doc_id),"
             " sym AS (SELECT doc_a AS node, doc_b AS nbr FROM pairs"

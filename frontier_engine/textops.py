@@ -79,20 +79,87 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
-    """MinHash signatures: for each salt s, min over shingles of
-    h60(s || '|' || shingle).  Output long form (doc_id, salt_id, minhash)
-    so the oracle twin is a plain GROUP BY.
+# 31-bit prime field for MinHash affine permutations (the same prime Spark
+# ML's MinHashLSH uses): products a·(1+x) stay < 2^62, no int64 overflow in
+# either engine.
+MINHASH_PRIME = 2038074743
 
-    Scale: explode(shingles) is the only width increase (~tokens/doc rows),
+
+def minhash_coefficients(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_s, b_s) affine coefficients, a_s ≠ 0, derived from
+    md5 of the salt label — fixed literals, identical in the SQL twin."""
+    out = []
+    for s in range(n_hashes):
+        a = int(_hashlib.md5(f"mh-a-{s}".encode()).hexdigest()[:15], 16) % (MINHASH_PRIME - 1) + 1
+        b = int(_hashlib.md5(f"mh-b-{s}".encode()).hexdigest()[:15], 16) % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+_ROLL_B = 1000003  # rolling-hash base; B·P < 2^51, no int64 overflow
+
+
+def rolling_shingle_hashes(hs_col, n: int = 3):
+    """Numeric word-``n``-gram hashes from a MATERIALIZED per-token hash
+    array column (values < MINHASH_PRIME): window i's hash is the
+    polynomial fold ``((hs[i]·B + hs[i+1]) mod P · B + hs[i+2]) mod P``.
+
+    ``hs_col`` must be a real column reference, NOT an inline expression:
+    Catalyst inlines lambda-bound expressions into every ``element_at``,
+    re-deriving the whole array per window element (measured 52 s vs 1.3 s
+    at sf0.1 — the difference between O(tokens) and O(tokens²) md5 calls).
+
+    Skipping the shingle STRING entirely (no slice/array_join allocation,
+    no md5 over ~3-word strings) is what the profile said to cut: string
+    shingle construction was ~85% of minhash cost, hashing was not.
+    """
+    def win(i):
+        acc = F.element_at(hs_col, i)
+        for j in range(1, n):
+            acc = (acc * _ROLL_B + F.element_at(hs_col, i + j)) % MINHASH_PRIME
+        return acc
+
+    return F.when(
+        F.size(hs_col) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(hs_col) - (n - 1)), win),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+    """MinHash signatures via affine permutations over a prime field: each
+    token is hashed ONCE (md5 → 60 bits → mod P), shingle hashes are a
+    numeric polynomial roll over the materialized token-hash array (no
+    shingle strings are ever built), and salt s's value is
+    ``(a_s·(1+x) + b_s) mod P`` — the universal-hashing construction Spark
+    ML's MinHashLSH itself uses.  Output long form (doc_id, salt_id,
+    minhash) so the oracle twin is a plain GROUP BY.
+
+    Perf notes (all measured at sf0.1): shingle-string construction
+    (slice + array_join per window) was ~85% of round-2's 7.2 s — the
+    numeric roll cuts the full query to ~1.3 s.  The naive cheap salt
+    derivation (h1 + s·h2 double hashing) correlates argmins across salts
+    (6× more false-positive LSH candidates measured at sf0.01) — affine
+    permutations reshuffle the order per salt, so signature independence
+    survives.  31-bit range: hash collisions merge ~(n²/2^32) shingle
+    pairs — negligible minhash bias; the estimator is approximate anyway.
+
+    Scale: explode(windows) is the only width increase (~tokens/doc rows),
     followed by one partial-aggregating groupBy — no shuffle of raw text.
     """
-    ex = docs.select("doc_id", F.explode(shingles_col(F.col("text"), shingle_n)).alias("sh"))
+    hdf = docs.select(
+        "doc_id",
+        F.transform(
+            tokens_col(F.col("text")), lambda tk: _h60(tk) % MINHASH_PRIME
+        ).alias("hs"),
+    )
+    ex = hdf.select(
+        "doc_id", F.explode(rolling_shingle_hashes(F.col("hs"), shingle_n)).alias("x")
+    )
     # one aggregate per salt instead of a salt-explode: 8x fewer shuffled
-    # rows (the salts differ only in a literal prefix of the hashed string)
+    # rows (the salts differ only in literal affine coefficients)
     aggs = [
-        F.min(_h60(F.concat_ws("|", F.lit(str(s)), F.col("sh")))).alias(f"m{s}")
-        for s in range(n_hashes)
+        F.min((F.lit(a) * (F.col("x") + 1) + F.lit(b)) % MINHASH_PRIME).alias(f"m{s}")
+        for s, (a, b) in enumerate(minhash_coefficients(n_hashes))
     ]
     wide = ex.groupBy("doc_id").agg(*aggs)
     stack = ", ".join(f"{s}, m{s}" for s in range(n_hashes))
@@ -162,16 +229,24 @@ def ngram_jaccard_pairs(
     also generate.  (Cap not applied when it would change small-scale
     oracle results — callers pass a high cap in oracle mode.)
 
-    Shingles are hashed to 60-bit longs (``_h60``, oracle-mirrorable)
-    BEFORE any shuffle: the inverted index and the same-shingle self-join
-    move 8-byte keys instead of ~n·word strings (~4× less shuffle volume —
-    the round-2 bench's dominant cost).  Collisions are 2^-60-rare,
-    deterministic, and identical in the DuckDB twin.
+    Shingles are hashed to longs BEFORE any shuffle: the inverted index and
+    the same-shingle self-join move 8-byte keys instead of ~n·word strings.
+    The hash value never surfaces in the output — only equality groups do —
+    so it needs injectivity-on-the-data, NOT cross-engine equality: Spark
+    uses native ``xxhash64`` (whole-stage codegen, no md5 bytes-walk; the
+    md5 variant was the round-2/3 bench's dominant cost) while the oracle
+    keys on its own 60-bit md5.  Collisions are ~2^-60-rare and would only
+    merge two shingle groups, deterministically.
     """
     sh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(shingles_col(F.col("text"), shingle_n))).alias("sh_str"),
-    ).select("doc_id", _h60(F.col("sh_str")).alias("sh"))
+    ).select("doc_id", F.xxhash64(F.col("sh_str")).alias("sh"))
+    # three plan branches (sizes, df counts, filtered index) consume sh;
+    # without materialization each branch re-parses and re-shingles the
+    # corpus (measured 3× the dominant cost at sf0.1: 10.6 s → 6.5 s).
+    # the checkpointed table is (long, long) — tiny next to the text scan
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     sh_f = sh.join(df_counts.filter(F.col("df") <= max_docs_per_shingle).select("sh"), "sh")
@@ -672,20 +747,36 @@ def winnow_fingerprints(docs: DataFrame, shingle_n: int = 3, window: int = 4) ->
     of the shingle count), followed by nothing.  An inverted index /
     self-join over these fingerprints is the cheap downstream candidate
     generator (same shape as dedup_minhash_lsh's band join).
+
+    Each derived array is materialized as its OWN projection before the
+    next stage references it: lambda-bound array expressions get inlined by
+    Catalyst into every element_at/slice call, turning O(tokens) hashing
+    into O(tokens·windows) — measured 271 s → 1.5 s at sf0.1.  Shingle
+    hashes are the numeric polynomial roll (rolling_shingle_hashes); no
+    shingle strings are built.
     """
-    hseq = F.transform(shingles_col(F.col("text"), shingle_n), lambda s: _h60(s))
+    hdf = docs.select(
+        "doc_id",
+        F.transform(
+            tokens_col(F.col("text")), lambda tk: _h60(tk) % MINHASH_PRIME
+        ).alias("hs"),
+    )
+    sdf = hdf.select(
+        "doc_id", rolling_shingle_hashes(F.col("hs"), shingle_n).alias("sh")
+    )
+    sh = F.col("sh")
     wins = (
         F.when(
-            F.size(hseq) >= window,
+            F.size(sh) >= window,
             F.transform(
-                F.sequence(F.lit(0), F.size(hseq) - window),
-                lambda i: F.array_min(F.slice(hseq, i + 1, window)),
+                F.sequence(F.lit(0), F.size(sh) - window),
+                lambda i: F.array_min(F.slice(sh, i + 1, window)),
             ),
         )
-        .when(F.size(hseq) > 0, F.array(F.array_min(hseq)))
+        .when(F.size(sh) > 0, F.array(F.array_min(sh)))
         .otherwise(F.array().cast("array<long>"))
     )
-    return docs.select("doc_id", F.explode(F.array_distinct(wins)).alias("fingerprint"))
+    return sdf.select("doc_id", F.explode(F.array_distinct(wins)).alias("fingerprint"))
 
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
