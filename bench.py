@@ -107,6 +107,12 @@ def main():
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
 
+    # session warm-up (JIT, codegen compiler, parquet footers): without it
+    # the FIRST query absorbs one-time JVM costs — measured 6.2 s vs 1.1 s
+    # warm for the same plan
+    force(qs["dedup_exact"](spark, sf_dir))
+    force(qs["hourly_counts"](spark, sf_dir))
+
     for name in HEADLINE:
         if name == "ann_cosine_ivf":
             # index build is its own line: built once, queries amortize it
