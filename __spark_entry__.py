@@ -814,12 +814,17 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": (
             # shf mirrors the Spark df cap (max_docs_per_shingle=100):
             # stop-shingles with df > 100 are dropped from pair generation
-            # (but NOT from per-doc sizes), exactly as in textops
-            # shingles hashed to 60-bit longs BEFORE the joins (mirrors the
-            # Spark-side _h60 shuffle-volume optimization bit-for-bit)
+            # (but NOT from per-doc sizes), exactly as in textops; shingle
+            # keys are the same numeric roll as the Spark side, so hash
+            # collisions merge identical groups in both engines
             "WITH t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
-            " sh0 AS (SELECT doc_id, unnest(" + _SHINGLES3 + ") AS s FROM t),"
-            " sh AS (SELECT DISTINCT doc_id, " + _H60.format(x="s") + " AS sh FROM sh0),"
+            " hx AS (SELECT doc_id, list_transform(toks, tk -> "
+            + _H60.format(x="tk") + f" % {_MH_P}) AS hs FROM t),"
+            " sh0 AS (SELECT doc_id, unnest(CASE WHEN len(hs) >= 3 THEN"
+            f"   list_transform(generate_series(1, len(hs) - 2),"
+            f"     i -> ((hs[i] * {_MH_B} + hs[i+1]) % {_MH_P} * {_MH_B} + hs[i+2]) % {_MH_P})"
+            "   ELSE [] END) AS s FROM hx),"
+            " sh AS (SELECT DISTINCT doc_id, s AS sh FROM sh0),"
             " sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),"
             " keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),"
             " shf AS (SELECT sh.doc_id, sh.sh FROM sh JOIN keep USING (sh)),"
@@ -830,11 +835,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2"
         ),
         "repetition_signals": (
+            # grams are the SAME numeric roll as the Spark side — collisions
+            # merge identical gram pairs in both engines, parity is exact
             "WITH t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
-            " g2 AS (SELECT doc_id, unnest(" + _SHINGLES2 + ") AS g FROM t),"
+            " hx AS (SELECT doc_id, list_transform(toks, tk -> "
+            + _H60.format(x="tk") + f" % {_MH_P}) AS hs FROM t),"
+            " g2 AS (SELECT doc_id, unnest(CASE WHEN len(hs) >= 2 THEN"
+            f"   list_transform(generate_series(1, len(hs) - 1),"
+            f"     i -> (hs[i] * {_MH_B} + hs[i+1]) % {_MH_P})"
+            "   ELSE [] END) AS g FROM hx),"
             " c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),"
             " d2 AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM c2 GROUP BY 1),"
-            " g3 AS (SELECT doc_id, unnest(" + _SHINGLES3 + ") AS g FROM t),"
+            " g3 AS (SELECT doc_id, unnest(CASE WHEN len(hs) >= 3 THEN"
+            f"   list_transform(generate_series(1, len(hs) - 2),"
+            f"     i -> ((hs[i] * {_MH_B} + hs[i+1]) % {_MH_P} * {_MH_B} + hs[i+2]) % {_MH_P})"
+            "   ELSE [] END) AS g FROM hx),"
             " c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),"
             " d3 AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot, count(*) AS uniq FROM c3 GROUP BY 1)"
             "SELECT d.doc_id,"

@@ -229,19 +229,25 @@ def ngram_jaccard_pairs(
     also generate.  (Cap not applied when it would change small-scale
     oracle results — callers pass a high cap in oracle mode.)
 
-    Shingles are hashed to longs BEFORE any shuffle: the inverted index and
-    the same-shingle self-join move 8-byte keys instead of ~n·word strings.
-    The hash value never surfaces in the output — only equality groups do —
-    so it needs injectivity-on-the-data, NOT cross-engine equality: Spark
-    uses native ``xxhash64`` (whole-stage codegen, no md5 bytes-walk; the
-    md5 variant was the round-2/3 bench's dominant cost) while the oracle
-    keys on its own 60-bit md5.  Collisions are ~2^-60-rare and would only
-    merge two shingle groups, deterministically.
+    Shingles are NUMERIC rolling hashes (rolling_shingle_hashes — no
+    shingle strings are ever built; string construction, not hashing, was
+    the measured round-2 cost): the inverted index and the same-shingle
+    self-join move 8-byte keys instead of ~n·word strings.  The ORACLE
+    computes the identical roll, so a collision merges the same two shingle
+    groups in both engines — parity is exact by construction; the Jaccard
+    estimate itself shifts by ~shingles²/2^32, far below the rounding.
     """
     sh = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(shingles_col(F.col("text"), shingle_n))).alias("sh_str"),
-    ).select("doc_id", F.xxhash64(F.col("sh_str")).alias("sh"))
+        F.transform(
+            tokens_col(F.col("text")), lambda tk: _h60(tk) % MINHASH_PRIME
+        ).alias("hs"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(rolling_shingle_hashes(F.col("hs"), shingle_n))
+        ).alias("sh"),
+    )
     # three plan branches (sizes, df counts, filtered index) consume sh;
     # without materialization each branch re-parses and re-shingles the
     # corpus (measured 3× the dominant cost at sf0.1: 10.6 s → 6.5 s).
@@ -707,10 +713,26 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     Scale: explode n-grams → per-(doc, gram) count → per-doc max/sum —
     two partial-aggregating groupBys, no joins wider than doc_id.  Docs too
     short for an n-gram get 0.0 (left join + coalesce, mirrored in SQL).
+
+    Grams are numeric rolling hashes (rolling_shingle_hashes) — their
+    values never surface, only the count fractions, and the ORACLE uses the
+    identical roll, so a hash collision merges the same two grams in both
+    engines (parity is exact by construction; the statistic itself shifts
+    by ~grams²/2^32 — negligible).  The token-hash array is checkpointed so
+    the bigram and trigram branches parse the corpus once, not twice
+    (5.5 s → ~2 s at sf0.1).
     """
+    hdf = docs.select(
+        "doc_id",
+        F.transform(
+            tokens_col(F.col("text")), lambda tk: _h60(tk) % MINHASH_PRIME
+        ).alias("hs"),
+    ).localCheckpoint(eager=True)
     out = docs.select("doc_id")
     for n, label in ((2, "bigram"), (3, "trigram")):
-        grams = docs.select("doc_id", F.explode(shingles_col(F.col("text"), n)).alias("g"))
+        grams = hdf.select(
+            "doc_id", F.explode(rolling_shingle_hashes(F.col("hs"), n)).alias("g")
+        )
         per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
         per_doc = per_gram.groupBy("doc_id").agg(
             F.max("c").alias("mx"),
