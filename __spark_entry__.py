@@ -532,6 +532,12 @@ def q_tfidf_topterms(spark, sf):
     return textops.tfidf_topterms(_t(spark, sf, "documents"), k=3)
 
 
+def q_simhash_pairs(spark, sf):
+    """6th dedup-family member: simhash near-dup pairs via the bit-chunk
+    pigeonhole (Manku et al. 2007) + Hamming verify."""
+    return textops.dedup_simhash(_t(spark, sf, "documents"))
+
+
 _SAMPLE_RATES = {"en": 800, "zh": 500, "de": 400, "fr": 300, "es": 200}
 
 
@@ -590,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_norms": q_embedding_norms,
         "pii_scrub": q_pii_scrub,
+        "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "tfidf_topterms": q_tfidf_topterms,
         "sample_stratified": q_sample_stratified,
@@ -952,6 +959,24 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": (
             "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> x::double * x::double))), 4) AS l2_norm "
             "FROM embeddings"
+        ),
+        "simhash_pairs": (
+            # 60-bit simhash (integer shifts, never double pow — bits past
+            # 2^53 must stay exact), then the 4×15-bit-chunk pigeonhole
+            # join + xor/bit_count Hamming verify
+            "WITH t AS (SELECT doc_id, unnest(" + _TOKS + ") AS tok FROM documents),"
+            " h AS (SELECT doc_id, " + _H60.format(x="tok") + " AS h FROM t),"
+            " b AS (SELECT doc_id, unnest(generate_series(0, 59)) AS bit, h FROM h),"
+            " c AS (SELECT doc_id, bit, sum(((h >> bit) & 1) * 2 - 1) AS s FROM b GROUP BY doc_id, bit),"
+            " sig AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::bigint << bit) ELSE 0 END)::bigint AS simhash"
+            "   FROM c GROUP BY doc_id),"
+            " chunks AS (SELECT doc_id, simhash, ch AS chunk_id, (simhash >> (ch * 15)) & 32767 AS chunk_val"
+            "   FROM sig, unnest(generate_series(0, 3)) AS u(ch)),"
+            " cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            "   a.simhash AS sh_a, b.simhash AS sh_b"
+            "   FROM chunks a JOIN chunks b USING (chunk_id, chunk_val) WHERE a.doc_id < b.doc_id)"
+            "SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming "
+            "FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3"
         ),
         "pii_scrub": (
             # the enrichment mirrors _pii_enriched; scrub order email →

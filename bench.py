@@ -32,6 +32,7 @@ HEADLINE = [
     "minhash_signatures",
     "lsh_pairs",
     "simhash",
+    "simhash_pairs",
     "ngram_jaccard",
     "repetition_signals",
     "winnow_fingerprints",

@@ -199,22 +199,89 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash over whitespace tokens: bit j of the fingerprint is the sign
     of Σ_tokens (2·bit_j(h60(token)) − 1).
 
-    Long-form expansion (doc, token, bit) → one aggregation; bits=16 keeps
-    the explode factor bounded while demonstrating the full algorithm."""
+    No bit explode: one (doc, token) row carries ``bits`` per-bit sum
+    AGGREGATE expressions (the same shape as the minhash salt aggs), so the
+    shuffle is one row per doc regardless of ``bits`` — which is what makes
+    the 60-bit fingerprint dedup_simhash needs affordable (the old
+    doc×token×bit explode grew linearly in bits).  The fingerprint is
+    assembled from integer shift literals — never double ``pow`` — so bits
+    beyond 2^53 stay exact.
+    """
     toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
-    toks = toks.withColumn("h", _h60(F.col("tok")))
-    bitsdf = toks.select(
+    toks = toks.select("doc_id", _h60(F.col("tok")).alias("h"))
+    aggs = [
+        F.sum(
+            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*aggs)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_doc.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
+def simhash_pairs_from_signatures(
+    sig: DataFrame, bits: int = 16, n_chunks: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs from simhash signatures (doc_id, simhash) by the
+    bit-chunk pigeonhole (Manku, Jain & Sarma, WWW 2007 — the Google
+    near-dup crawl paper): split the fingerprint into ``n_chunks`` chunks;
+    two fingerprints with Hamming distance < n_chunks must agree on at
+    least one exact chunk, so a same-(chunk_id, chunk_val) self-join finds
+    EVERY pair with distance ≤ max_hamming = n_chunks − 1, then the cheap
+    xor/bit_count verify drops the rest.
+
+    Scale: same bucketed shape as the MinHash band join — candidate blowup
+    is confined to same-chunk buckets, never all pairs; AQE splits a
+    pathological bucket.  Output: (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunks = sig.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        F.col("h"),
-    ).withColumn("contrib", F.expr("(((h >> bit) & 1) * 2 - 1)"))
-    return (
-        bitsdf.groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("bitval") * F.pow(F.lit(2.0), F.col("bit"))).cast("long").alias("simhash"))
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask))
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
     )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def dedup_simhash(docs: DataFrame, bits: int = 60, max_hamming: int = 3) -> DataFrame:
+    """Simhash near-dup pairs over a documents table: 6th dedup-family
+    member (exact / MinHash-LSH / n-gram Jaccard / embedding-cosine /
+    clusters / simhash-Hamming).
+
+    60-bit fingerprints: the production regime (Manku et al. use 64) —
+    with 16 bits, unrelated docs land within Hamming 3 by volume alone
+    (measured 28k bogus pairs on 500 docs); at 60 bits random docs sit
+    near distance 30 and only true near-dups survive the radius."""
+    return simhash_pairs_from_signatures(simhash(docs, bits), bits=bits, max_hamming=max_hamming)
 
 
 def ngram_jaccard_pairs(

@@ -193,3 +193,37 @@ def test_sample_stratified_deterministic_and_monotonic(spark):
     # keep fraction lands near the configured permille (hash uniformity)
     n_en = sum(1 for r in low.collect() if r["lang"] == "en")
     assert 20 <= n_en <= 60  # 200 docs × 20% ± slack
+
+
+# ---------------------------------------------------------------------------
+# simhash Hamming pairs
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_pairs_pigeonhole_guarantee(spark):
+    """Every pair within Hamming distance 3 MUST be found (4-chunk
+    pigeonhole); pairs beyond the radius must be dropped by the verify."""
+    sig = spark.createDataFrame(
+        [
+            (1, 0b0000_0000_0000_0000),
+            (2, 0b0000_0000_0000_0111),  # d(1,2)=3 → pair
+            (3, 0b0000_0000_0000_1111),  # d(1,3)=4 → candidate (shares chunks 1-3) but verify drops
+            (4, 0b1010_0101_1100_0011),  # far from 1/2, d(3,4)=8
+            (5, 0b1010_0101_1100_0011),  # identical to 4 → hamming 0
+        ],
+        "doc_id long, simhash long",
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in textops.simhash_pairs_from_signatures(sig).collect()}
+    assert out[(1, 2)] == 3
+    assert out[(4, 5)] == 0
+    assert (1, 3) not in out          # distance 4: candidate generated, verify kills it
+    assert out[(2, 3)] == 1           # 0111 ^ 1111 = 1000 → hamming 1
+
+
+def test_dedup_simhash_exact_dups_distance_zero(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(spark, [(0, base), (1, base), (2, "utterly different words in this one entirely")])
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in textops.dedup_simhash(docs).collect()}
+    assert out.get((0, 1)) == 0
+    assert (0, 2) not in out and (1, 2) not in out
