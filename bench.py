@@ -154,7 +154,12 @@ def main():
         max_rounds=4,
         max_depth=1,
         use_bloom=True,
-        n_partitions=int(cpus) * 2,
+        # one partition per core: at this corpus size 2x-cores partitions
+        # hold ~200 rows each and the per-round constant becomes task-launch
+        # overhead (measured 35.5s -> 22.8s total for the same crawl); 32
+        # shards still bound ~100k keys/shard at 1% FP
+        n_partitions=int(cpus),
+        bloom_shards=32,
     )
     # warm-up: JIT, python workers, parquet footer cache
     run_crawl(spark, corpus, seeds[:200], CrawlConfig(round_seconds=1e9, max_rounds=1))

@@ -363,13 +363,17 @@ def run_crawl(
                 # chain the O(delta) bloom merge on the CHECKPOINTED seen
                 # delta — building it from the raw new_seen would re-run the
                 # dropDuplicates shuffle a second time in parallel
-                ck = new_seen.localCheckpoint(eager=True)
+                ck = timed("ckpt_seen_delta", round_no, lambda: new_seen.localCheckpoint(eager=True))
                 merged = None
                 if cfg.use_bloom and prev_shards is not None:
                     delta = seenmod.build_bloom_shards(
                         ck, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits_per_shard
                     )
-                    merged = seenmod.merge_shards(prev_shards, delta).localCheckpoint(eager=True)
+                    merged = timed(
+                        "bloom_merge",
+                        round_no,
+                        lambda: seenmod.merge_shards(prev_shards, delta).localCheckpoint(eager=True),
+                    )
                 return ck, merged
 
             with ThreadPoolExecutor(max_workers=3) as pool:
