@@ -141,6 +141,25 @@ def stream_dedup_exact(
     return d.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["text_hash"])
 
 
+def stream_text_signals(spark: SparkSession, docs_dir: str, schema) -> DataFrame:
+    """Text-quality + PII signals over a document STREAM.
+
+    The stateless textops operators (quality_score, pii_scrub, lang_id,
+    token_counts, sample_stratified, …) are pure row projections, so they
+    run UNCHANGED under Structured Streaming — no rewrite, no state, no
+    watermark.  This wrapper composes two of them as the proof shape: the
+    batch text pipeline's map-only stages are streaming-safe as-is, which
+    is the property that lets a 100 TB pipeline score/scrub documents at
+    ingest instead of in a second batch pass.
+    """
+    from frontier_engine.textops import pii_columns, quality_columns
+
+    sdf = spark.readStream.schema(schema).parquet(docs_dir)
+    # stream-stream joins need watermarks; map-only signals don't — both
+    # expression families go in ONE projection over the same source
+    return sdf.select("doc_id", *quality_columns(), *pii_columns())
+
+
 def run_to_memory(sdf: DataFrame, name: str, checkpoint: str, output_mode: str = "append"):
     """Drive a streaming DF with availableNow into an in-memory table;
     returns after the trigger drains (test/offline harness).  NOTE: the

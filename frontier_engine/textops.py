@@ -731,10 +731,10 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return counts.select("doc_id", "n_tokens", pred.alias("pred_lang"))
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Quality features + composite score (rounded for oracle stability):
-    token count, mean token length, stopword ratio (en), alpha ratio."""
-    toks = tokens_col(F.col("text"))
+def quality_columns(text_col: str = "text") -> list:
+    """The quality-signal COLUMN EXPRESSIONS — exposed separately so batch
+    and streaming callers can put them in one projection."""
+    toks = tokens_col(F.col(text_col))
     n_tok = F.size(toks)
     mean_len = F.round(
         F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / F.greatest(n_tok, F.lit(1)), 4
@@ -743,7 +743,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.size(F.filter(toks, lambda t: t.isin(list(_STOPWORDS["en"])))) / F.greatest(n_tok, F.lit(1)), 4
     )
     alpha_ratio = F.round(
-        F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", "")) / F.greatest(F.length("text"), F.lit(1)), 4
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")) / F.greatest(F.length(text_col), F.lit(1)), 4
     )
     # integer-scaled composite (0..10000): float weighted sums can land on a
     # rounding boundary and disagree between engines; integer math can't
@@ -752,14 +752,19 @@ def quality_score(docs: DataFrame) -> DataFrame:
         + F.round(stop_ratio * 10000).cast("long") * 3
         + F.round(alpha_ratio * 10000).cast("long") * 3
     ) / 10
-    return docs.select(
-        "doc_id",
+    return [
         n_tok.alias("n_tokens"),
         mean_len.alias("mean_token_len"),
         stop_ratio.alias("stopword_ratio"),
         alpha_ratio.alias("alpha_ratio"),
         score.cast("long").alias("quality_permille"),
-    )
+    ]
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality features + composite score (rounded for oracle stability):
+    token count, mean token length, stopword ratio (en), alpha ratio."""
+    return docs.select("doc_id", *quality_columns())
 
 
 def token_counts(docs: DataFrame) -> DataFrame:
@@ -894,6 +899,21 @@ PII_PATTERNS = {
 PII_REPLACEMENTS = {"email": "<EMAIL>", "phone": "<PHONE>", "ipv4": "<IP>"}
 
 
+def pii_columns(text_col: str = "text") -> list:
+    """The PII signal COLUMN EXPRESSIONS (counts + scrubbed text) — exposed
+    separately so batch and streaming callers can put them in one
+    projection (map-only expressions need no join to compose)."""
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}s")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    scrubbed = t
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, PII_REPLACEMENTS[name])
+    return [*counts, scrubbed.alias("scrubbed")]
+
+
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """PII detection + redaction over a text column: per-document counts of
     emails / phone numbers / IPv4 addresses and the scrubbed text with each
@@ -907,15 +927,7 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     shuffle, no Python.  At 100 TB this is a map-only pass that pushes the
     text-column scan down to parquet.
     """
-    t = F.col(text_col)
-    counts = [
-        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}s")
-        for name, pat in PII_PATTERNS.items()
-    ]
-    scrubbed = t
-    for name, pat in PII_PATTERNS.items():
-        scrubbed = F.regexp_replace(scrubbed, pat, PII_REPLACEMENTS[name])
-    return docs.select("doc_id", *counts, scrubbed.alias("scrubbed"))
+    return docs.select("doc_id", *pii_columns(text_col))
 
 
 # ---------------------------------------------------------------------------

@@ -111,3 +111,36 @@ def test_stream_dedup_exact(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == 6
     assert out.filter(F.col("doc_id") == 999).count() == 1
+
+
+def test_stream_text_signals_matches_batch(spark, tmp_path):
+    """Stateless textops projections must produce the SAME rows under
+    Structured Streaming as in batch — the map-only streaming-safety
+    contract for the text pipeline."""
+    import pyspark.sql.functions as F
+
+    from frontier_engine import streaming as st
+    from frontier_engine import textops
+
+    docs_dir = str(tmp_path / "docs")
+    rows = [
+        (0, "reach me at a@b.io or +1-555-0100 the quick brown fox"),
+        (1, "plain text with no pii and the and the and the"),
+        (2, "server 10.0.0.7 is down again call someone"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(docs_dir)
+
+    sdf = st.stream_text_signals(spark, docs_dir, df.schema)
+    assert sdf.isStreaming
+    st.run_to_memory(sdf, "text_signals", str(tmp_path / "ck"))
+    got = spark.table("text_signals")
+    batch = df.select("doc_id", *textops.quality_columns(), *textops.pii_columns())
+    assert sorted(got.collect(), key=lambda r: r["doc_id"]) == sorted(
+        batch.collect(), key=lambda r: r["doc_id"]
+    )
+    # spot-check the signals are real, not vacuous
+    by_id = {r["doc_id"]: r for r in got.collect()}
+    assert by_id[0]["n_emails"] == 1 and by_id[0]["n_phones"] == 1
+    assert by_id[2]["n_ipv4s"] == 1
+    assert by_id[1]["n_tokens"] == 11
