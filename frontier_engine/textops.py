@@ -649,6 +649,72 @@ def cosine_topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def materialize_ivf(emb: DataFrame, centroids: list[list[float]], path: str) -> None:
+    """Write the IVF assignment table PARTITIONED BY cluster_id — the
+    production index layout its docstrings promise: one directory per
+    coarse cluster, so a probe's ``cluster_id IN (...)`` filter prunes
+    whole partitions at the file listing, before any IO.
+
+    Build once (with :func:`build_ivf_index` centroids), query many times
+    with :func:`cosine_topk_ivf_materialized`."""
+    assign_clusters(emb, centroids).write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+
+def cosine_topk_ivf_materialized(
+    spark,
+    index_path: str,
+    centroids: list[list[float]],
+    queries: dict[int, list[float]],
+    k: int = 10,
+    n_probe: int = 8,
+) -> DataFrame:
+    """IVF ANN over a MATERIALIZED index: probe clusters are computed
+    driver-side from the centroid matrix (numpy over k·dim floats — KBs),
+    and the scan carries a literal ``cluster_id IN (union of probes)``
+    partition filter, so only n_probe-ish directories of the index are
+    listed and read.  Results are identical to :func:`cosine_topk_ivf`
+    with the same centroids — only the physical access path changes.
+
+    ``queries`` maps query_id → embedding (at production scale the query
+    side arrives from outside the index; it is broadcast, never joined at
+    corpus scale)."""
+    cm = np.asarray(centroids, dtype=np.float64)
+    probe_rows = []
+    probe_union: set[int] = set()
+    for qid, vec in queries.items():
+        d = ((cm - np.asarray(vec, dtype=np.float64)) ** 2).sum(axis=1)
+        probes = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
+        probe_union.update(probes)
+        for p in probes:
+            probe_rows.append((qid, [float(x) for x in vec], p))
+    q = spark.createDataFrame(probe_rows, "query_id long, qe array<float>, probe_cluster int")
+    cand = (
+        spark.read.parquet(index_path)
+        # literal IN over the partition column → partition pruning at the
+        # file listing (visible as PartitionFilters in the scan node)
+        .filter(F.col("cluster_id").isin(sorted(probe_union)))
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("ce"),
+            F.col("cluster_id").cast("int").alias("cc"),
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        F.broadcast(q)
+        .join(cand, F.col("probe_cluster") == F.col("cc"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 6),
+        )
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def dedup_embedding_cosine(
     emb: DataFrame, threshold: float = 0.3, n_planes: int = 8
 ) -> DataFrame:

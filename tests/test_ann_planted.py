@@ -64,3 +64,37 @@ def test_ivf_prebuilt_matches_inquery(planted):
     rows_a = {tuple(r) for r in a.collect()}
     rows_b = {tuple(r) for r in b.collect()}
     assert rows_a == rows_b
+
+
+def test_ivf_materialized_matches_inmemory_and_prunes(spark, tmp_path):
+    """The materialized IVF path must return EXACTLY the in-memory IVF
+    results (same centroids → same candidates → same top-k) while its scan
+    carries a cluster_id partition filter (file-level pruning)."""
+    from frontier_engine import textops
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = textops.build_ivf_index(emb, n_clusters=8, iters=2)
+    qids = [0, 1, 2]
+    want = {
+        (r["query_id"], r["rank"]): r["cand_id"]
+        for r in textops.cosine_topk_ivf(emb, qids, k=5, n_probe=4, centroids=centroids).collect()
+    }
+
+    idx = str(tmp_path / "ivf_idx")
+    textops.materialize_ivf(emb, centroids, idx)
+    queries = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(emb.vec_id.isin(qids)).collect()
+    }
+    out = textops.cosine_topk_ivf_materialized(spark, idx, centroids, queries, k=5, n_probe=4)
+    got = {(r["query_id"], r["rank"]): r["cand_id"] for r in out.collect()}
+    assert got == want
+
+    # the physical plan prunes partitions: the scan carries a literal
+    # cluster_id IN (...) PartitionFilter (file-listing-level pruning)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.find("PartitionFilters") :][:200]
+    assert pf.startswith("PartitionFilters: [cluster_id") and " IN " in pf
+    import os
+    n_dirs = sum(1 for d in os.listdir(idx) if d.startswith("cluster_id="))
+    assert n_dirs == 8
