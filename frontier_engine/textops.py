@@ -1048,6 +1048,16 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: not converged after {max_iters} rounds "
+            f"({changed} labels still moving) — labels are an upper bound on "
+            "cluster granularity; raise max_iters or switch to "
+            "large-star/small-star for high-diameter graphs",
+            stacklevel=2,
+        )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),

@@ -227,3 +227,23 @@ def test_dedup_simhash_exact_dups_distance_zero(spark):
     out = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in textops.dedup_simhash(docs).collect()}
     assert out.get((0, 1)) == 0
     assert (0, 2) not in out and (1, 2) not in out
+
+
+def test_pii_scrub_idempotent(spark):
+    """Scrubbing already-scrubbed text must be a no-op: the placeholders
+    contain no PII, so a second pass finds nothing and changes nothing
+    (the property that makes re-running a scrub stage safe)."""
+    docs = _docs(
+        spark,
+        [
+            (0, "mail a@b.io twice c@d.org phone +1-555-0100 ip 10.1.2.3"),
+            (1, "clean text stays clean"),
+        ],
+    )
+    once = textops.pii_scrub(docs).select(
+        "doc_id", F.col("scrubbed").alias("text")
+    )
+    twice = {r["doc_id"]: r for r in textops.pii_scrub(once).collect()}
+    assert twice[0]["n_emails"] == 0 and twice[0]["n_phones"] == 0 and twice[0]["n_ipv4s"] == 0
+    assert twice[0]["scrubbed"] == "mail <EMAIL> twice <EMAIL> phone <PHONE> ip <IP>"
+    assert twice[1]["scrubbed"] == "clean text stays clean"
