@@ -546,6 +546,48 @@ def q_sample_stratified(spark, sf):
     return textops.sample_stratified(_t(spark, sf, "documents"), _SAMPLE_RATES)
 
 
+def q_training_pipeline(spark, sf):
+    """The capstone composite: the full training-corpus prep chain as ONE
+    query — quality gate → language gate → exact dedup (keep min doc_id
+    per content hash) → near-dup drop (any doc that LSH-pairs with a
+    smaller doc_id leaves) → PII scrub → per-language stratified sample.
+    Every stage is an operator this engine ships individually; the oracle
+    mirrors the whole chain, so the driver verifies the COMPOSITION, not
+    just the parts.  All stages stay Catalyst-native end to end."""
+    d = _t(spark, sf, "documents")
+    q = d.select("doc_id", "lang", "text", *textops.quality_columns())
+    kept = q.filter((F.col("n_tokens") >= 10) & F.col("lang").isin("en", "fr", "de", "es"))
+    # exact dedup, keep-first (min doc_id per md5(text))
+    reps = kept.groupBy(F.md5("text").alias("th")).agg(F.min("doc_id").alias("keep_id"))
+    kept = kept.withColumn("th", F.md5("text")).join(reps, "th").filter(
+        F.col("doc_id") == F.col("keep_id")
+    )
+    # near-dup drop: a doc that pairs with a SMALLER doc_id is the copy
+    pairs = textops.dedup_minhash_lsh(kept.select("doc_id", "text"))
+    kept = kept.join(
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    # PII scrub (hash the clean text: slim rows, still value-checked)
+    scrub = kept.select(
+        "doc_id", "lang", "n_tokens", "quality_permille", *textops.pii_columns()
+    ).select(
+        "doc_id", "lang", "n_tokens", "quality_permille",
+        F.md5("scrubbed").alias("clean_hash"),
+    )
+    # stratified sample (same rates as sample_stratified)
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long") % 1000
+    rate = None
+    for key, permille in sorted(_SAMPLE_RATES.items()):
+        rate = (F.when(F.col("lang") == key, F.lit(permille)) if rate is None
+                else rate.when(F.col("lang") == key, F.lit(permille)))
+    rate = rate.otherwise(F.lit(0))
+    return (
+        scrub.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "n_tokens", "quality_permille", "bucket", "clean_hash")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -600,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "tfidf_topterms": q_tfidf_topterms,
         "sample_stratified": q_sample_stratified,
+        "training_pipeline": q_training_pipeline,
     }
 
 
@@ -1032,6 +1075,38 @@ def oracle_sql() -> dict[str, str]:
             "  CASE lang WHEN 'en' THEN 800 WHEN 'zh' THEN 500 WHEN 'de' THEN 400"
             "   WHEN 'fr' THEN 300 WHEN 'es' THEN 200 ELSE 0 END AS rate"
             " FROM documents) WHERE bucket < rate"
+        ),
+        "training_pipeline": (
+            # the composite chain, mirrored stage for stage: quality gate →
+            # lang gate → exact dedup keep-first → LSH near-dup drop (same
+            # sig/band CTEs as lsh_pairs, over the SURVIVING docs) → PII
+            # scrub hash → per-lang stratified sample
+            "WITH t0 AS (SELECT doc_id, lang, text, " + _TOKS + " AS toks FROM documents),"
+            " q AS (SELECT doc_id, lang, text, len(toks) AS n_tokens,"
+            "   ((least(len(toks), 100) * 40"
+            "     + round(round(len(list_filter(toks, x -> x IN " + _EN_STOP + "))::double / greatest(len(toks), 1), 4) * 10000)::bigint * 3"
+            "     + round(round(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double / greatest(len(text), 1), 4) * 10000)::bigint * 3) // 10)::bigint AS quality_permille"
+            "   FROM t0),"
+            " kept0 AS (SELECT doc_id, lang, text, n_tokens, quality_permille FROM q"
+            "   WHERE n_tokens >= 10 AND lang IN ('en','fr','de','es')),"
+            " reps AS (SELECT md5(text) AS th, min(doc_id) AS keep_id FROM kept0 GROUP BY 1),"
+            " kept1 AS (SELECT k.doc_id, k.lang, k.text, k.n_tokens, k.quality_permille"
+            "   FROM kept0 k JOIN reps r ON md5(k.text) = r.th AND k.doc_id = r.keep_id),"
+            + _SIG_CTES.replace("FROM documents", "FROM kept1") + ","
+            + _BANDS_CTE + ","
+            " pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+            "   FROM bands a JOIN bands b USING (band_id, band_hash) WHERE a.doc_id < b.doc_id),"
+            " kept2 AS (SELECT * FROM kept1 WHERE doc_id NOT IN (SELECT doc_b FROM pairs)),"
+            " scrub AS (SELECT doc_id, lang, n_tokens, quality_permille,"
+            f"   md5(regexp_replace(regexp_replace(regexp_replace(text,"
+            f" '{textops.PII_PATTERNS['email']}', '<EMAIL>', 'g'),"
+            f" '{textops.PII_PATTERNS['phone']}', '<PHONE>', 'g'),"
+            f" '{textops.PII_PATTERNS['ipv4']}', '<IP>', 'g')) AS clean_hash FROM kept2)"
+            "SELECT doc_id, lang, n_tokens, quality_permille, bucket, clean_hash FROM ("
+            " SELECT *, (('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint) % 1000 AS bucket,"
+            "  CASE lang WHEN 'en' THEN 800 WHEN 'zh' THEN 500 WHEN 'de' THEN 400"
+            "   WHEN 'fr' THEN 300 WHEN 'es' THEN 200 ELSE 0 END AS rate FROM scrub)"
+            " WHERE bucket < rate"
         ),
         # ann_cosine_lsh / ann_cosine_ivf: intentionally no oracle
         # (probabilistic recall / iterative) — recall@k pytest contracts

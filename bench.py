@@ -37,6 +37,7 @@ HEADLINE = [
     "repetition_signals",
     "winnow_fingerprints",
     "dedup_clusters",
+    "training_pipeline",
     "tfidf_topterms",
     "pii_scrub",
     "sample_stratified",
