@@ -650,16 +650,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TOKS = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
 _TOKS_RAW = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
 _H60 = "(('0x' || substr(md5({x}), 1, 15))::bigint)"
-_SHINGLES3 = (
-    "CASE WHEN len(toks) >= 3 THEN "
-    "list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) "
-    "ELSE [] END"
-)
-_SHINGLES2 = (
-    "CASE WHEN len(toks) >= 2 THEN "
-    "list_transform(generate_series(1, len(toks) - 1), i -> array_to_string(toks[i:i+1], ' ')) "
-    "ELSE [] END"
-)
 _EN_STOP = "('the','and','of','to','a','in','is','it','that','for')"
 
 # MinHash signature CTE chain (mirrors textops.minhash_signatures
