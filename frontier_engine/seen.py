@@ -245,3 +245,40 @@ def filter_unseen(
             seen_side = seen.filter(F.col(prune_shard_col).isin(pos_shards))
     confirmed_unseen = positives.join(seen_side.select(key_col).distinct(), key_col, "left_anti")
     return negatives.unionByName(confirmed_unseen)
+
+
+def write_bucketed_seen(
+    seen: DataFrame, table_name: str, path: str, n_buckets: int = 64, key_col: str = "url_key"
+) -> None:
+    """Persist the seen store as a BUCKETED, bucket-sorted table
+    (``bucketBy(n_buckets, key_col).sortBy(key_col)``): rows are physically
+    clustered by ``hash(key) % n_buckets`` at write time, so every future
+    join/anti-join on the key reads pre-clustered buckets — the store side
+    of the per-round URL-seen gate never shuffles again.
+
+    This is the co-located-join alternative to shard-partitioning when the
+    store lives in a Spark-managed table (Iceberg's ``bucket(url)``
+    transform is the same idea as a table service).  At 10^10 keys the
+    exact anti-join's dominant cost is shuffling the store every round;
+    bucketing moves that cost to write time, once, amortized over every
+    subsequent round.
+    """
+    (
+        seen.write.mode("overwrite")
+        .bucketBy(n_buckets, key_col)
+        .sortBy(key_col)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def filter_unseen_bucketed(
+    candidates: DataFrame, spark, table_name: str, key_col: str = "url_key"
+) -> DataFrame:
+    """Exact URL-seen gate against a bucketed store table: same rows as
+    ``filter_unseen``, but the store side's Exchange disappears from the
+    plan (only the quota-bounded candidate side repartitions to the bucket
+    layout).  Verified by plan assertion in tests/test_bucketed_seen.py."""
+    seen = spark.table(table_name)
+    return candidates.join(seen.select(key_col), key_col, "left_anti")
