@@ -382,7 +382,10 @@ def q_lsh_pairs(spark, sf):
 
 
 def q_simhash(spark, sf):
-    return textops.simhash(_t(spark, sf, "documents"))
+    """60-bit fingerprints — the production width (Manku et al. use 64);
+    the oracle assembles them from integer shifts, since double pow loses
+    exactness past 2^53."""
+    return textops.simhash(_t(spark, sf, "documents"), bits=60)
 
 
 def q_ngram_jaccard(spark, sf):
@@ -846,9 +849,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": (
             "WITH t AS (SELECT doc_id, unnest(" + _TOKS + ") AS tok FROM documents),"
             " h AS (SELECT doc_id, " + _H60.format(x="tok") + " AS h FROM t),"
-            " b AS (SELECT doc_id, unnest(generate_series(0, 15)) AS bit, h FROM h),"
+            " b AS (SELECT doc_id, unnest(generate_series(0, 59)) AS bit, h FROM h),"
             " c AS (SELECT doc_id, bit, sum(((h >> bit) & 1) * 2 - 1) AS s FROM b GROUP BY doc_id, bit)"
-            "SELECT doc_id, sum(CASE WHEN s > 0 THEN 1 ELSE 0 END * power(2, bit))::bigint AS simhash "
+            "SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::bigint << bit) ELSE 0 END)::bigint AS simhash "
             "FROM c GROUP BY doc_id"
         ),
         "ngram_jaccard": (

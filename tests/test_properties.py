@@ -91,3 +91,33 @@ def test_bloom_paths_agree_on_any_key(key, m_exp):
     batch = seenmod._bit_positions_batch([key], m_bits)[0]
     assert np.array_equal(scalar, batch)
     assert (scalar >= 0).all() and (scalar < m_bits).all()
+
+
+# ---------------------------------------------------------------------------
+# rolling shingle hashes (numeric n-gram keys for the minhash family)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2038074742), min_size=0, max_size=12),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=30, deadline=None)
+def test_rolling_shingle_hashes_matches_reference(spark, hs, n):
+    """The array-expression roll must equal a plain Python reference fold
+    for every window, including the size < n empty case."""
+    import pyspark.sql.functions as F
+
+    from frontier_engine.textops import MINHASH_PRIME, _ROLL_B, rolling_shingle_hashes
+
+    df = spark.createDataFrame([(hs,)], "hs array<long>")
+    got = df.select(rolling_shingle_hashes(F.col("hs"), n).alias("w")).first()["w"]
+
+    def ref_window(i):
+        acc = hs[i]
+        for j in range(1, n):
+            acc = (acc * _ROLL_B + hs[i + j]) % MINHASH_PRIME
+        return acc
+
+    want = [ref_window(i) for i in range(len(hs) - n + 1)] if len(hs) >= n else []
+    assert got == want
