@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -159,6 +160,82 @@ def extract_media_features(media: DataFrame, batch_partitions: int | None = None
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Resize image binaries so the longer side is ≤ ``max_dim`` —
+    completing the brief's decode / feature-extract / RESIZE / frame-sample
+    set.  PIL path (``Image.thumbnail`` + re-encode) when the lib is
+    present and the bytes decode; deterministic stub otherwise (scaled
+    stub dimensions + a blake2b-derived payload, clearly fake but
+    shape-faithful so the Spark plumbing is fully testable here).
+
+    Scale shape: mapInPandas, payload in → payload out (the one operator
+    family where the bytes MUST flow through Python); rows already within
+    bounds pass through unchanged (``resized = false``) with no re-encode.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "content", "resized")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                out["media_id"].append(mid)
+                if content is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["content"].append(None)
+                    out["resized"].append(None)
+                    continue
+                content = bytes(content)
+                if _HAS_PIL:
+                    import io
+
+                    try:
+                        with _PILImage.open(io.BytesIO(content)) as img:
+                            if max(img.width, img.height) <= max_dim:
+                                out["width"].append(img.width)
+                                out["height"].append(img.height)
+                                out["content"].append(content)
+                                out["resized"].append(False)
+                                continue
+                            img.thumbnail((max_dim, max_dim))
+                            buf = io.BytesIO()
+                            img.save(buf, format=img.format or "PNG")
+                            out["width"].append(img.width)
+                            out["height"].append(img.height)
+                            out["content"].append(buf.getvalue())
+                            out["resized"].append(True)
+                            continue
+                    except Exception:
+                        pass
+                w, h, _ = _decode_image_stub(content)
+                if max(w, h) <= max_dim:
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["content"].append(content)
+                    out["resized"].append(False)
+                else:
+                    scale = max_dim / max(w, h)
+                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                    # STUB re-encode: deterministic bytes derived from the
+                    # source digest + target dims (real path: img.save)
+                    d = hashlib.blake2b(content + f"{nw}x{nh}".encode(), digest_size=32).digest()
+                    out["width"].append(nw)
+                    out["height"].append(nh)
+                    out["content"].append(d * 4)
+                    out["resized"].append(True)
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("content", BinaryType(), True),
+            StructField("resized", BooleanType(), True),
+        ]
+    )
+    return media.mapInPandas(run, schema=schema)
 
 
 def unpack_feature_col(df: DataFrame, col: str = "feature") -> DataFrame:

@@ -77,3 +77,52 @@ def test_pil_real_decode_when_available():
     w, h, px = multimodal._decode_image(buf.getvalue())
     assert (w, h) == (12, 7)
     assert len(px) == 12 * 7 * 3
+
+
+def test_resize_images_contract(spark, media):
+    """Resize: longer side capped at max_dim, small images pass through
+    byte-identical, output deterministic across runs."""
+    from frontier_engine.multimodal import resize_images
+
+    imgs = media.filter("media_type = 'images'")
+    out = resize_images(imgs, max_dim=64).collect()
+    assert out, "fixture must contain images"
+    src_bytes = {r["media_id"]: bytes(r["content"]) for r in imgs.collect()}
+    for r in out:
+        assert max(r["width"], r["height"]) <= 64
+        if not r["resized"]:
+            assert bytes(r["content"]) == src_bytes[r["media_id"]]
+        else:
+            assert bytes(r["content"]) != src_bytes[r["media_id"]]
+    again = {r["media_id"]: (r["width"], r["height"], bytes(r["content"]))
+             for r in resize_images(imgs, max_dim=64).collect()}
+    assert again == {r["media_id"]: (r["width"], r["height"], bytes(r["content"])) for r in out}
+
+
+def test_resize_images_null_content(spark):
+    from frontier_engine.multimodal import MEDIA_SCHEMA, resize_images
+
+    rows = [(1, "u", "images", "image/png", None, None)]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    r = resize_images(df).collect()[0]
+    assert r["content"] is None and r["resized"] is None
+
+
+def test_pil_real_resize_when_available(spark):
+    """Activates wherever PIL exists (skipped in this sandbox): a real
+    decodable PNG larger than max_dim must come back truly re-encoded
+    with the aspect ratio preserved."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from frontier_engine.multimodal import MEDIA_SCHEMA, resize_images
+
+    buf = io.BytesIO()
+    PIL.new("RGB", (200, 100)).save(buf, format="PNG")
+    rows = [(1, "u", "images", "image/png", buf.getvalue(), buf.getbuffer().nbytes)]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    r = resize_images(df, max_dim=64).collect()[0]
+    assert r["resized"] is True
+    assert (r["width"], r["height"]) == (64, 32)
+    with PIL.open(io.BytesIO(bytes(r["content"]))) as img:
+        assert (img.width, img.height) == (64, 32)
