@@ -247,3 +247,15 @@ def test_pii_scrub_idempotent(spark):
     assert twice[0]["n_emails"] == 0 and twice[0]["n_phones"] == 0 and twice[0]["n_ipv4s"] == 0
     assert twice[0]["scrubbed"] == "mail <EMAIL> twice <EMAIL> phone <PHONE> ip <IP>"
     assert twice[1]["scrubbed"] == "clean text stays clean"
+
+
+def test_connected_components_empty_edges_schema(spark):
+    """No candidate pairs → empty output with the stable 3-column schema
+    (the driver's schema check must not wobble on tiny scale factors)."""
+    out = textops.connected_components(_edges(spark, []))
+    assert out.columns == ["doc_id", "cluster_id", "cluster_size"]
+    assert out.count() == 0
+    docs = _docs(spark, [(0, "aa bb cc dd ee"), (1, "vv ww xx yy zz")])
+    out2 = textops.dedup_clusters(docs)
+    assert out2.columns == ["doc_id", "cluster_id", "cluster_size"]
+    assert out2.count() == 0
