@@ -293,8 +293,9 @@ def ngram_jaccard_pairs(
     join: |A∩B| counted by grouping co-occurrences, |A∪B| = |A|+|B|−|A∩B|.
     ``max_docs_per_shingle`` drops stop-shingles (df > cap) — the standard
     scale guard; at web scale these contribute pairs that other shingles
-    also generate.  (Cap not applied when it would change small-scale
-    oracle results — callers pass a high cap in oracle mode.)
+    also generate.  The registered query runs with the cap ON (=100) and
+    the DuckDB oracle applies the same cap, so the verified variant IS the
+    scale-safe one.
 
     Shingles are NUMERIC rolling hashes (rolling_shingle_hashes — no
     shingle strings are ever built; string construction, not hashing, was
