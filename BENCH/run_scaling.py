@@ -216,7 +216,10 @@ design (BASELINE.md); the engine at N={rn['cores']} already exceeds it by
 `extract_ckpt`) is embarrassingly parallel — the property that carries to a
 1000-executor cluster, where per-round data per executor is far larger and
 the fixed per-round driver overhead (the main deviation from 1.0 here)
-amortizes further.
+amortizes further.  Note also that in local mode all N threads SHARE one
+memory system: the heavy-page checkpoint is bandwidth-bound, so its
+measured thread-scaling understates cluster scaling, where every executor
+brings its own memory bandwidth.
 
 Raw JSON: `{json.dumps(result)}`
 """
