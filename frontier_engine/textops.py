@@ -1035,18 +1035,20 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
             .groupBy("node")
             .agg(F.min("label").alias("nb_min"))
         )
+        # carry the previous label through the checkpoint: the convergence
+        # count is then a filter on already-materialized rows (one job per
+        # round, not a second join job)
         new_labels = (
             labels.join(nb_min, "node", "left")
-            .select("node", F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"))
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
+                F.col("label").alias("prev_label"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("prev_label")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     else:
