@@ -549,6 +549,13 @@ def q_sample_stratified(spark, sf):
     return textops.sample_stratified(_t(spark, sf, "documents"), _SAMPLE_RATES)
 
 
+def q_token_budget(spark, sf):
+    """Fill 40% of the corpus token budget by source priority — two-phase
+    cumulative sum (per-source windows + broadcast offsets), integer math
+    end to end."""
+    return textops.token_budget_sample(_t(spark, sf, "documents"), budget_permille=400)
+
+
 def q_training_pipeline(spark, sf):
     """The capstone composite: the full training-corpus prep chain as ONE
     query — quality gate → language gate → exact dedup (keep min doc_id
@@ -645,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "tfidf_topterms": q_tfidf_topterms,
         "sample_stratified": q_sample_stratified,
+        "token_budget": q_token_budget,
         "training_pipeline": q_training_pipeline,
     }
 
@@ -1068,6 +1076,22 @@ def oracle_sql() -> dict[str, str]:
             "  CASE lang WHEN 'en' THEN 800 WHEN 'zh' THEN 500 WHEN 'de' THEN 400"
             "   WHEN 'fr' THEN 300 WHEN 'es' THEN 200 ELSE 0 END AS rate"
             " FROM documents) WHERE bucket < rate"
+        ),
+        "token_budget": (
+            # two-phase cumsum mirrored: per-source window partitions + an
+            # offsets table over #sources rows; DuckDB sum() is HUGEINT —
+            # cast to bigint everywhere it surfaces
+            "WITH toks AS (SELECT doc_id, source,"
+            "   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\\sA-Za-z0-9]')) AS n_tokens FROM documents),"
+            " srcs AS (SELECT source, sum(n_tokens)::bigint AS st FROM toks GROUP BY source),"
+            " offs AS (SELECT source, coalesce(sum(st) OVER ("
+            "   ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS off FROM srcs),"
+            " cum AS (SELECT k.doc_id, k.source, k.n_tokens,"
+            "   (o.off + sum(k.n_tokens) OVER (PARTITION BY k.source ORDER BY k.doc_id"
+            "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::bigint AS cum_tokens"
+            "   FROM toks k JOIN offs o USING (source)),"
+            " tot AS (SELECT ((sum(n_tokens) * 400) // 1000)::bigint AS budget FROM toks)"
+            "SELECT doc_id, source, n_tokens, cum_tokens FROM cum, tot WHERE cum_tokens <= budget"
         ),
         "training_pipeline": (
             # the composite chain, mirrored stage for stage: quality gate →

@@ -41,6 +41,7 @@ HEADLINE = [
     "tfidf_topterms",
     "pii_scrub",
     "sample_stratified",
+    "token_budget",
     "ann_cosine_topk",
     "ann_cosine_lsh",
     "ann_cosine_ivf",

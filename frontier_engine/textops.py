@@ -1146,3 +1146,53 @@ def sample_stratified(
     return docs.withColumn("bucket", bucket).filter(F.col("bucket") < rate).select(
         id_col, stratum_col, "bucket"
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_permille: int = 400,
+    source_col: str = "source",
+) -> DataFrame:
+    """Fill a token budget by source priority: sources are consumed in
+    ascending name order, docs within a source in doc_id order, and a doc
+    is kept iff the running token total through it stays within
+    ``budget_permille``/1000 of the corpus total.  The data-mixing step
+    after rate-based sampling: "give me the first N tokens by priority",
+    reproducibly.
+
+    Scale shape — the naive global running sum is a ONE-PARTITION window
+    (the classic cumsum scale bug).  This is the two-phase form: per-source
+    cumulative sums run in parallel (window PARTITIONED by source), and the
+    cross-source offsets come from a tiny per-source totals table (one row
+    per source, broadcast).  The only serial window is over #sources rows.
+
+    Integer arithmetic end to end (budget = (total·permille) div 1000) —
+    no float thresholds to disagree across engines.
+    """
+    from pyspark.sql.window import Window
+
+    bpe = F.size(
+        F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"), 0)
+    )
+    toks = docs.select("doc_id", source_col, bpe.alias("n_tokens"))
+    srcs = toks.groupBy(source_col).agg(F.sum("n_tokens").alias("st"))
+    w_off = Window.orderBy(source_col).rowsBetween(Window.unboundedPreceding, -1)
+    offs = srcs.select(
+        source_col, F.coalesce(F.sum("st").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = (
+        Window.partitionBy(source_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = toks.join(F.broadcast(offs), source_col).withColumn(
+        "cum_tokens", (F.col("off") + F.sum("n_tokens").over(w_in)).cast("long")
+    )
+    budget = toks.agg(
+        F.expr(f"(sum(n_tokens) * {budget_permille}) div 1000").alias("budget")
+    )
+    return (
+        cum.crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", source_col, "n_tokens", "cum_tokens")
+    )

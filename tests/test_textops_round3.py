@@ -259,3 +259,23 @@ def test_connected_components_empty_edges_schema(spark):
     out2 = textops.dedup_clusters(docs)
     assert out2.columns == ["doc_id", "cluster_id", "cluster_size"]
     assert out2.count() == 0
+
+
+def test_token_budget_priority_order_and_cutoff(spark):
+    """Docs are consumed source-asc then doc_id-asc; the running total
+    stops exactly at the budget boundary."""
+    rows = [
+        (1, "a1", "w w w w"),        # 4 tokens, source a1
+        (2, "a1", "w w w"),          # 3 tokens
+        (3, "b2", "w w w w w"),      # 5 tokens
+        (4, "b2", "w w"),            # 2 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # total = 14; budget 500‰ → 7: doc1 (cum 4) + doc2 (cum 7) fit, doc3 (cum 12) not
+    out = {r["doc_id"]: r["cum_tokens"]
+           for r in textops.token_budget_sample(docs, budget_permille=500).collect()}
+    assert out == {1: 4, 2: 7}
+    # budget 1000‰ keeps everything, in priority order
+    out_all = {r["doc_id"]: r["cum_tokens"]
+               for r in textops.token_budget_sample(docs, budget_permille=1000).collect()}
+    assert out_all == {1: 4, 2: 7, 3: 12, 4: 14}
