@@ -103,13 +103,18 @@ def run_post_processing(df: DataFrame, post_cfg: dict, dedup_order_by: list[str]
             cols = op.get("columns", []) or []
             valid = [c for c in cols if c in df.columns]
             if cols and not valid:
-                # reference log-and-continue (src/main.py:195): a dedup op
-                # whose columns are all bad SKIPS, never full-row-dedups
+                # reference (src/main.py:201-206): `if valid_columns:` subset
+                # dedup, `else:` full-row drop_duplicates() — an op whose
+                # configured columns are ALL missing falls back to full-row
+                # dedup, it does not skip.  Warn (the reference is silent
+                # here, but the divergence is worth surfacing) and fall
+                # through to the all-columns subset below.
                 warnings.warn(
-                    f"Deduplicate columns {cols} not in frame — skipping op", stacklevel=2
+                    f"Deduplicate columns {cols} not in frame — "
+                    "falling back to full-row dedup (reference src/main.py:206)",
+                    stacklevel=2,
                 )
-                continue
-            if not valid:  # no subset configured → pandas default: all columns
+            if not valid:  # no/invalid subset → pandas default: all columns
                 valid = list(df.columns)
             current_sort = [F.col(c).asc() if a else F.col(c).desc() for c, a in sort_keys]
             tiebreak = [F.col(c) for c in (dedup_order_by or valid)]

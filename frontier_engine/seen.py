@@ -195,6 +195,37 @@ def bloom_maybe_seen(candidates: DataFrame, shards: DataFrame, key_col: str = "u
     )
 
 
+def validate_shard_contract(
+    seen: DataFrame, key_col: str, prune_shard_col: str, n_shards: int, sample_rows: int = 256
+) -> None:
+    """Raise if a sample of the store violates the shard-pruning contract
+    ``prune_shard_col == pmod(xxhash64(key), n_shards)``.  A sample can't
+    prove the whole store conforms, but it catches the two real failure
+    modes — a store written with a DIFFERENT n_shards, or a shard column
+    computed by a different hash — on the first row checked, for the cost
+    of one tiny single-partition job (``limit`` short-circuits the scan).
+    """
+    bad = (
+        seen.select(key_col, prune_shard_col)
+        .limit(sample_rows)
+        .filter(
+            F.col(prune_shard_col).cast("int")
+            != F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+        )
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        r = bad[0]
+        raise ValueError(
+            f"seen store shard column {prune_shard_col!r} violates the pruning "
+            f"contract pmod(xxhash64({key_col}), {n_shards}): row key "
+            f"{r[key_col]!r} has stored shard {r[prune_shard_col]!r} — was the "
+            "store written with a different n_shards?  Pruning with a "
+            "mismatched column would misclassify seen URLs as unseen."
+        )
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
@@ -203,6 +234,7 @@ def filter_unseen(
     shards: DataFrame | None = None,
     n_shards: int = 64,
     prune_shard_col: str | None = None,
+    validate_shards: bool = True,
 ) -> DataFrame:
     """Rows of ``candidates`` whose key is NOT in ``seen`` — exact.
 
@@ -221,9 +253,19 @@ def filter_unseen(
     a partitioned store the pruning skips whole files, so confirm cost
     scales with the POSITIVE COUNT (quota-bounded), not the seen-set size.
     Measured crossover: SCALE.md §bloom-crossover.
+
+    ``validate_shards``: the pruning is only CORRECT if the store's
+    ``prune_shard_col`` was computed as ``pmod(xxhash64(key), n_shards)``
+    with the SAME ``n_shards`` — a mismatched column silently excludes
+    shards that contain seen keys, so already-seen URLs come back
+    "unseen".  When True (default) a 256-row sample of the store is
+    checked against the recomputed shard id and a mismatch raises.  Hot
+    loops that validated the store once at load time pass False.
     """
     if not use_bloom or shards is None:
         return candidates.join(seen.select(key_col).distinct(), key_col, "left_anti")
+    if prune_shard_col is not None and validate_shards:
+        validate_shard_contract(seen, key_col, prune_shard_col, n_shards)
     flagged = bloom_maybe_seen(candidates, shards, key_col, n_shards)
     if prune_shard_col is not None:
         # flagged feeds three consumers (negatives, confirm join, and the

@@ -238,6 +238,18 @@ def simhash_pairs_from_signatures(
     is confined to same-chunk buckets, never all pairs; AQE splits a
     pathological bucket.  Output: (doc_a, doc_b, hamming), doc_a < doc_b.
     """
+    if bits % n_chunks != 0:
+        raise ValueError(
+            f"bits ({bits}) must divide evenly into n_chunks ({n_chunks}) — "
+            "a remainder leaves high bits outside every chunk, so pairs "
+            "differing only there would be silently missed"
+        )
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < n_chunks ({n_chunks}): the "
+            "pigeonhole guarantee (some chunk agrees exactly) only holds for "
+            "distance <= n_chunks - 1"
+        )
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
     chunks = sig.select(
@@ -396,6 +408,8 @@ def _bucket_udf(n_tables: int, n_planes: int, dim: int):
             return pd.Series([], dtype=object)
         E = np.zeros((n, dim), dtype=np.float64)
         for i, e in enumerate(embs):
+            if e is None:  # NULL embedding → zero vector → all-'0' buckets,
+                continue   # matching the coalesce of the old expression path
             v = np.nan_to_num(np.asarray(e, dtype=np.float64)[:dim])
             E[i, : v.shape[0]] = v
         bits = np.where((E @ P_T) > 0, "1", "0")

@@ -96,3 +96,37 @@ def test_merge_shards(spark):
     )
     flagged = seenmod.bloom_maybe_seen(both, merged, n_shards=4)
     assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_shard_contract_mismatch_raises(dfs, spark, tmp_path):
+    """ADVICE r3: a store whose shard column was written with a DIFFERENT
+    n_shards than the one passed to filter_unseen must raise, not silently
+    misclassify seen URLs as unseen (pruning would skip shards that hold
+    seen keys)."""
+    seen, cands = dfs
+    store = str(tmp_path / "seen_store_16")
+    # written with 16 shards, queried claiming 8
+    seenmod.with_shard_id(seen, "url_key", 16).write.partitionBy("shard_id").parquet(store)
+    seen_part = spark.read.parquet(store)
+    shards = seenmod.build_bloom_shards(seen, n_shards=8)
+    with pytest.raises(ValueError, match="shard column .* violates the pruning contract"):
+        seenmod.filter_unseen(
+            cands, seen_part, use_bloom=True, shards=shards, n_shards=8,
+            prune_shard_col="shard_id",
+        ).collect()
+
+
+def test_shard_contract_validation_skippable(dfs, spark, tmp_path):
+    """validate_shards=False skips the sample job (hot-loop callers that
+    validated the store once at load time)."""
+    seen, cands = dfs
+    store = str(tmp_path / "seen_store_ok")
+    seenmod.with_shard_id(seen, "url_key", 8).write.partitionBy("shard_id").parquet(store)
+    seen_part = spark.read.parquet(store)
+    shards = seenmod.build_bloom_shards(seen, n_shards=8)
+    out = seenmod.filter_unseen(
+        cands, seen_part, use_bloom=True, shards=shards, n_shards=8,
+        prune_shard_col="shard_id", validate_shards=False,
+    )
+    keys = {r.url_key for r in out.collect()}
+    assert keys == {f"com,ex)/{i}" for i in range(1, 1000, 2)}

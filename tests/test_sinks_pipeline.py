@@ -268,17 +268,20 @@ def test_two_sequential_sorts_then_dedup_matches_pandas(spark):
     assert got == want
 
 
-def test_dedup_all_missing_columns_skips(spark):
-    """ADVICE r2: a dedup op whose configured columns are ALL missing warns
-    and skips (reference log-and-continue) — it must NOT silently fall back
-    to full-row dedup and drop rows."""
+def test_dedup_all_missing_columns_full_row_fallback(spark):
+    """ADVICE r3 (correcting r2): reference src/main.py:201-206 falls back
+    to FULL-ROW drop_duplicates() when every configured dedup column is
+    missing (`if valid_columns: ... else: df.drop_duplicates()`), so the
+    identical rows must be dropped, not retained.  A warning still fires
+    so the config bug is visible."""
     sdf = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id int, tag string")
     cfg = {"operations": [{"type": "deduplicate", "columns": ["nope", "missing"]}]}
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         out = pipeline.run_post_processing(sdf, cfg)
-        assert any("skipping op" in str(x.message) for x in w)
-    assert out.count() == 3  # identical rows retained: op was skipped
+        assert any("full-row dedup" in str(x.message) for x in w)
+    got = {tuple(r) for r in out.collect()}
+    assert got == {(1, "a"), (2, "b")}  # full-row dedup, reference parity
 
 
 def test_run_pipeline_end_to_end(spark, tmp_path):

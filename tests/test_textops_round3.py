@@ -6,6 +6,7 @@ window + shingle_n − 1 tokens share at least one fingerprint.
 """
 
 import pyspark.sql.functions as F
+import pytest
 
 from frontier_engine import textops
 
@@ -279,3 +280,34 @@ def test_token_budget_priority_order_and_cutoff(spark):
     out_all = {r["doc_id"]: r["cum_tokens"]
                for r in textops.token_budget_sample(docs, budget_permille=1000).collect()}
     assert out_all == {1: 4, 2: 7, 3: 12, 4: 14}
+
+
+def test_lsh_null_embedding_row_no_crash(spark):
+    """ADVICE r3: a NULL embedding must not crash the bucket UDF
+    (np.asarray(None) is 0-d; [:dim] raised IndexError).  NULL rows take
+    the zero-vector → all-'0' bucket path, preserving the old
+    expression-based coalesce behavior, and the query itself still ranks
+    by exact cosine."""
+    dim = 8
+    rows = [(i, [float(i == j) for j in range(dim)]) for i in range(6)]
+    rows.append((6, None))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = textops.cosine_topk_lsh(emb, [0], k=3, n_planes=4, n_tables=2)
+    got = out.collect()  # must not raise
+    assert all(r["cand_id"] != 0 for r in got)
+
+
+def test_simhash_pairs_rejects_uneven_chunks(spark):
+    """ADVICE r3: bits not divisible by n_chunks leaves high bits outside
+    every chunk — pairs differing only there would be missed silently."""
+    sig = spark.createDataFrame([(1, 0), (2, 1 << 15)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="divide evenly"):
+        textops.simhash_pairs_from_signatures(sig, bits=16, n_chunks=3)
+
+
+def test_simhash_pairs_rejects_radius_beyond_pigeonhole(spark):
+    """max_hamming >= n_chunks breaks the guarantee that some chunk agrees
+    exactly — qualifying pairs would be silently missed."""
+    sig = spark.createDataFrame([(1, 0), (2, 15)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        textops.simhash_pairs_from_signatures(sig, bits=16, n_chunks=4, max_hamming=4)
