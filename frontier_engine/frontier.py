@@ -209,19 +209,33 @@ def run_crawl(
     for round_no in range(start_round, cfg.max_rounds):
         seen_df = seen_view()
         pending = frontier.filter((F.col("status").isin("pending", "retry")) & (F.col("not_before") <= F.lit(now)))
-        if timed("pending_check", round_no, lambda: pending.limit(1).count()) == 0:
+        # ONE agg job answers both round questions — "is anything eligible
+        # now?" and "when is the next retry slot?" — so an idle round costs
+        # a single job instead of a limit-probe followed by a min-probe
+        # (VERDICT r3 #4: the per-round job count is the constant the
+        # scaling gate is sensitive to).  The frontier is a localCheckpointed
+        # in-memory RDD, so the full-scan agg costs tasks, not IO.
+        probe = timed(
+            "pending_check",
+            round_no,
+            lambda: frontier.filter(F.col("status").isin("pending", "retry"))
+            .agg(
+                F.count(F.when(F.col("not_before") <= F.lit(now), True)).alias("n_eligible"),
+                F.min("not_before").alias("min_nb"),
+            )
+            .first(),
+        )
+        if probe["n_eligible"] == 0:
             # nothing eligible NOW — but scheduled retries with a future
             # not_before (retry_backoff·2^attempt can exceed round_seconds)
             # must not be abandoned: fast-forward virtual time to the next
             # retry slot instead of breaking with an undrained frontier
-            min_nb = (
-                frontier.filter(F.col("status").isin("pending", "retry"))
-                .agg(F.min("not_before"))
-                .first()[0]
-            )
-            if min_nb is None:
+            if probe["min_nb"] is None:
                 break
-            now = max(now + cfg.round_seconds, math.ceil(min_nb / cfg.round_seconds) * cfg.round_seconds)
+            now = max(
+                now + cfg.round_seconds,
+                math.ceil(probe["min_nb"] / cfg.round_seconds) * cfg.round_seconds,
+            )
             continue
         rounds_run += 1
 

@@ -311,3 +311,74 @@ def test_simhash_pairs_rejects_radius_beyond_pigeonhole(spark):
     sig = spark.createDataFrame([(1, 0), (2, 15)], "doc_id long, simhash long")
     with pytest.raises(ValueError, match="pigeonhole"):
         textops.simhash_pairs_from_signatures(sig, bits=16, n_chunks=4, max_hamming=4)
+
+
+def _window_specs(df):
+    import re
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan, set(re.findall(r"windowspecdefinition\(([^)]*)\)", plan))
+
+
+def test_token_budget_three_phase_no_per_source_window(spark):
+    """VERDICT r3 #1: no window partition may span a whole source.  The
+    three-phase plan's big window partitions by (source, bucket) — its
+    partition columns must include the bucket — and the only unpartitioned
+    window is the prefix sum over the per-(source, bucket) TOTALS table
+    (≤ #sources × n_buckets rows), recognizable because it orders by
+    (source, bucket) and carries no doc_id."""
+    rows = [(i, "s", "w w w") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = textops.token_budget_sample(docs, budget_permille=500)
+    out.collect()  # finalize AQE before reading the executed plan
+    plan, specs = _window_specs(out)
+    assert specs, "expected window nodes in the plan"
+    for s in specs:
+        if "doc_id" in s:
+            # partition columns print bare; ordering columns print with ASC/DESC.
+            # The row-level window must be partitioned by source AND bucket.
+            part = s.split("ASC")[0]
+            assert "source#" in part and "bucket#" in part, f"row window not bucketed: {s}"
+        else:
+            # totals window: orders by (source, bucket), no row-level column
+            assert "source#" in s and "bucket#" in s, f"unexpected window: {s}"
+
+
+def test_token_budget_skewed_source_matches_naive(spark):
+    """VERDICT r3 #5: 90%-one-source corpus — the op must stay correct (and
+    by the plan test above, parallel) under stratum skew.  Oracle is a
+    driver-side naive cumsum over the same priority order."""
+    import re
+
+    rows = [(i, "hot" if i % 10 else "b_cold", "w " * (1 + i % 7)) for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in textops.token_budget_sample(docs, budget_permille=400).collect()
+    }
+    toks = {
+        i: len(re.findall(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]", "w " * (1 + i % 7)))
+        for i in range(1000)
+    }
+    order = sorted(range(1000), key=lambda i: ("hot" if i % 10 else "b_cold", i))
+    budget = sum(toks.values()) * 400 // 1000
+    cum, want = 0, {}
+    for i in order:
+        cum += toks[i]
+        if cum <= budget:
+            want[i] = cum
+    assert got == want and len(want) > 0
+
+
+def test_sample_stratified_skew_immune_map_only(spark):
+    """VERDICT r3 #5: the stratified sampler is a pure map — its plan must
+    contain no Exchange and no window even when 90% of rows share one
+    stratum, so stratum skew cannot create a hot task."""
+    rows = [(i, "hot" if i % 10 else "cold", "text") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = textops.sample_stratified(docs, {"hot": 100, "cold": 500}, stratum_col="lang")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "windowspecdefinition" not in plan
+    # determinism: same permille rates → identical sample on re-run
+    again = textops.sample_stratified(docs, {"hot": 100, "cold": 500}, stratum_col="lang")
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
