@@ -29,8 +29,38 @@ import os
 import subprocess
 import sys
 import tempfile
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# --- PRE-REGISTERED contamination criterion (ADVICE r3) -------------------
+# A sweep is flagged contaminated by TELEMETRY SAMPLED BEFORE each child
+# JVM starts, never by looking at the efficiency number afterwards: at the
+# two quiet points (before the N child, and before the 4N child — our own
+# JVM has exited by then) a 2-second /proc/stat delta measures the host's
+# instantaneous foreign busy fraction.  If either sample exceeds
+# CONTAM_BUSY_FRAC (0.10 ≈ 3 of 32 cpus busy with work that is not ours),
+# the row records contaminated=true with the sample values.  The threshold
+# and mechanism live in this file under version control; rows carry the
+# telemetry either way, so the flag is reproducible from the row itself.
+CONTAM_BUSY_FRAC = 0.10
+
+
+def cpu_busy_frac(interval: float = 2.0) -> float:
+    """Fraction of total cpu time spent non-idle over ``interval`` seconds
+    (from /proc/stat deltas — instantaneous, unlike loadavg's 1-min EMA
+    which would still be decaying from our own just-finished child)."""
+
+    def snap() -> tuple[int, int]:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+
+    t1, i1 = snap()
+    time.sleep(interval)
+    t2, i2 = snap()
+    dt = t2 - t1
+    return round(1.0 - (i2 - i1) / dt, 4) if dt else 0.0
 
 CHILD = r"""
 import json, sys, time
@@ -142,10 +172,20 @@ def main():
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     corpus_dir, seeds_dir = build_inputs(pages)
+    busy_before_n = cpu_busy_frac()
     rn = run_child(n_small, corpus_dir, seeds_dir, trials)
+    busy_before_4n = cpu_busy_frac()
     r4n = run_child(n_small * 4, corpus_dir, seeds_dir, trials)
     eff = round((r4n["urls_per_sec"] / rn["urls_per_sec"]) / 4, 3)
-    result = {"N": rn, "4N": r4n, "scaling_efficiency": eff, "corpus_pages": pages}
+    result = {"N": rn, "4N": r4n, "scaling_efficiency": eff, "corpus_pages": pages,
+              "telemetry": {"busy_before_N": busy_before_n, "busy_before_4N": busy_before_4n,
+                            "threshold": CONTAM_BUSY_FRAC, "protocol": "prereg-v1"}}
+    if max(busy_before_n, busy_before_4n) > CONTAM_BUSY_FRAC:
+        result["contaminated"] = True
+        result["reason"] = (
+            f"preregistered: foreign busy fraction {max(busy_before_n, busy_before_4n)} "
+            f"> {CONTAM_BUSY_FRAC} before a child started"
+        )
     print(json.dumps(result))
 
     with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl"), "a") as fh:

@@ -558,7 +558,7 @@ def q_token_budget(spark, sf):
     return textops.token_budget_sample(_t(spark, sf, "documents"), budget_permille=400)
 
 
-def q_training_pipeline(spark, sf):
+def q_training_pipeline(spark, sf, materialize=True):
     """The capstone composite: the full training-corpus prep chain as ONE
     query — quality gate → language gate → exact dedup (keep min doc_id
     per content hash) → near-dup drop (any doc that LSH-pairs with a
@@ -578,8 +578,11 @@ def q_training_pipeline(spark, sf):
     # back, and the PII projection) — without a materialization barrier the
     # scan + quality projection + exact-dedup join re-execute per branch,
     # i.e. two extra full-corpus passes at 100 TB (VERDICT r3 #2; same
-    # rationale as ngram_jaccard_pairs, textops.py).
-    kept = kept.localCheckpoint(eager=True)
+    # rationale as ngram_jaccard_pairs, textops.py).  materialize=False is
+    # the plan-audit path: the checkpoint cuts lineage, so pushdown checks
+    # need the unmaterialized twin (tools/audit_plans.py).
+    if materialize:
+        kept = kept.localCheckpoint(eager=True)
     # near-dup drop: a doc that pairs with a SMALLER doc_id is the copy
     pairs = textops.dedup_minhash_lsh(kept.select("doc_id", "text"))
     kept = kept.join(

@@ -57,6 +57,13 @@ class CrawlConfig:
     retry_backoff: float = 8.0  # seconds of virtual time before retry
     use_bloom: bool = False
     bloom_shards: int = 64
+    # with use_bloom, restrict the confirm anti-join to bloom-positive
+    # shards (seen.py filter_unseen prune_shard_col).  In-memory the shard
+    # id is recomputed map-side on the seen view (no schema change, resume
+    # untouched); over a shard-PARTITIONED parquet store the same path
+    # prunes whole files.  The 10^10-regime knob: confirm cost follows the
+    # positive count, not the seen-set size (SCALE.md §bloom-crossover).
+    prune_seen_shards: bool = True
     max_per_host_per_round: int | None = None
     honor_robots: bool = False  # reference never does (P7); engine can
     salt_buckets: int = 8
@@ -244,8 +251,16 @@ def run_crawl(
             bloom_shards = seenmod.build_bloom_shards(
                 seen_df, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits_per_shard
             ).localCheckpoint(eager=True)
+        seen_gate, prune_col = seen_df, None
+        if cfg.use_bloom and cfg.prune_seen_shards:
+            # shard ids recomputed map-side each round (cheap xxhash64 over
+            # rows already scanned); contract holds by construction, so the
+            # store-sample validation job is skipped
+            seen_gate = seenmod.with_shard_id(seen_df, "url_key", cfg.bloom_shards)
+            prune_col = "shard_id"
         unseen = seenmod.filter_unseen(
-            pending, seen_df, use_bloom=cfg.use_bloom, shards=bloom_shards, n_shards=cfg.bloom_shards
+            pending, seen_gate, use_bloom=cfg.use_bloom, shards=bloom_shards,
+            n_shards=cfg.bloom_shards, prune_shard_col=prune_col, validate_shards=False,
         )
 
         # 3-4. politeness: policy join, robots, per-host rank+quota

@@ -280,14 +280,18 @@ def test_incremental_bloom_multiround_matches_exact(spark):
     corpus = spark.createDataFrame(synth.gen_pages(200), schema=PAGES)
     seeds = synth.parse_seed_lines(synth.gen_seed_lines(200, 120))
     # small quota → many rounds → several merge generations
-    mk = lambda bloom: CrawlConfig(  # noqa: E731
+    mk = lambda bloom, prune=True: CrawlConfig(  # noqa: E731
         round_seconds=30.0, max_rounds=100, use_bloom=bloom,
         bloom_shards=8, bloom_bits_per_shard=1 << 14,
-        max_per_host_per_round=3,
+        max_per_host_per_round=3, prune_seen_shards=prune,
     )
+    # prune_seen_shards defaults ON, so this run exercises the full 10^10
+    # path through run_crawl: bloom pre-filter + shard-pruned confirm join
     with_bloom = run_crawl(spark, corpus, seeds, mk(True))
+    no_prune = run_crawl(spark, corpus, seeds, mk(True, prune=False))
     without = run_crawl(spark, corpus, seeds, mk(False))
     assert with_bloom.rounds > 2  # the incremental path actually ran
     sb = {r["url_key"] for r in with_bloom.seen.collect()}
+    sn = {r["url_key"] for r in no_prune.seen.collect()}
     se = {r["url_key"] for r in without.seen.collect()}
-    assert sb == se
+    assert sb == sn == se

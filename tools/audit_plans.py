@@ -48,7 +48,29 @@ AUDIT = {
     "tfidf_topterms": {"pushed": False, "broadcast": False, "window_limit": True},
     "sample_stratified": {"pushed": False, "broadcast": False},
     "training_pipeline": {"pushed": True, "broadcast": False},
+    # not a queries() entry (needs an index path + query vectors); injected
+    # in main() — the check that matters is the literal cluster_id IN
+    # partition filter pruning index files at the listing
+    "ann_ivf_materialized": {"pushed": False, "broadcast": True, "partition_filters": True},
 }
+
+
+def _ann_ivf_materialized(spark, sf):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from frontier_engine import textops
+
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    cents = entrymod.ivf_centroids(spark, sf)
+    idx = os.path.join(tempfile.gettempdir(), "audit_ivf_index")
+    textops.materialize_ivf(emb, cents, idx)
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    }
+    return textops.cosine_topk_ivf_materialized(spark, idx, cents, qvecs, k=10)
 
 
 def audit_one(spark, name, fn, sf, expect):
@@ -72,6 +94,9 @@ def audit_one(spark, name, fn, sf, expect):
         checks["broadcast_join"] = "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     if expect.get("window_limit"):
         checks["window_group_limit"] = "WindowGroupLimit" in plan
+    if expect.get("partition_filters"):
+        after = plan.split("PartitionFilters: [", 1)
+        checks["partition_filters"] = len(after) == 2 and "cluster_id" in after[1][:300]
     checks["codegen"] = "WholeStageCodegen" in executed or "*(1)" in executed
     return plan, checks
 
@@ -81,7 +106,12 @@ def main():
     spark = get_spark("local[8]", app_name="plan-audit",
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    qs["ann_ivf_materialized"] = _ann_ivf_materialized
+    # the shipped query localCheckpoints its dedup stage (three consumers) —
+    # that barrier cuts lineage and hides the parquet scan from the final
+    # plan, so the pushdown audit runs the unmaterialized twin
+    qs["training_pipeline"] = lambda s, sf: entrymod.q_training_pipeline(s, sf, materialize=False)
     out = [
         "# PLANS.md — physical-plan audit of headline queries "
         f"({os.path.basename(sf.rstrip('/'))})",
