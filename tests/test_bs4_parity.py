@@ -22,7 +22,9 @@ _HAS_BS4 = (
 )
 
 pytestmark = pytest.mark.skipif(
-    not _HAS_BS4, reason="bs4/lxml not installed in this sandbox (documented gap)"
+    not _HAS_BS4,
+    reason="bs4/lxml not installed in this sandbox — a CI runner that HAS "
+    "them must treat this skip as a FAILURE (README 'Library-gated tests')",
 )
 
 ADVERSARIAL = [

@@ -66,7 +66,8 @@ def test_decode_falls_back_to_stub_on_undecodable_bytes():
 
 
 def test_pil_real_decode_when_available():
-    """Activates wherever PIL exists (skipped in this sandbox)."""
+    """Activates wherever PIL exists.  A CI runner that HAS PIL must treat
+    a skip here as a FAILURE (README 'Library-gated tests')."""
     PIL = pytest.importorskip("PIL.Image")
     import io
 
@@ -109,9 +110,10 @@ def test_resize_images_null_content(spark):
 
 
 def test_pil_real_resize_when_available(spark):
-    """Activates wherever PIL exists (skipped in this sandbox): a real
-    decodable PNG larger than max_dim must come back truly re-encoded
-    with the aspect ratio preserved."""
+    """Activates wherever PIL exists: a real decodable PNG larger than
+    max_dim must come back truly re-encoded with the aspect ratio
+    preserved.  A CI runner that HAS PIL must treat a skip here as a
+    FAILURE (README 'Library-gated tests')."""
     PIL = pytest.importorskip("PIL.Image")
     import io
 
