@@ -38,7 +38,8 @@ from frontier_engine.schema import PAGES  # noqa: E402
 from frontier_engine.session import get_spark  # noqa: E402
 from frontier_engine.storage import SnapshotStore  # noqa: E402
 
-N_SHARDS = 256
+N_SHARDS = int(os.environ.get("CBX_SHARDS", "256"))
+BITS_PER_SHARD = int(os.environ.get("CBX_BITS", str(1 << 20)))
 
 
 def build_fixture(spark, n_seen: int, n_cand: int) -> tuple[str, str]:
@@ -109,6 +110,7 @@ def timed_run(spark, tmpl_dir: str, corpus_dir: str, use_bloom: bool, prune: boo
         use_bloom=use_bloom,
         prune_seen_shards=prune,
         bloom_shards=N_SHARDS,
+        bloom_bits_per_shard=BITS_PER_SHARD,
         n_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "16")),
         # drain the candidates over several rounds so the one-time bloom
         # build amortizes over several probe rounds (the production regime)
