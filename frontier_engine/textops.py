@@ -1201,7 +1201,9 @@ def token_budget_sample(
 
     Integer arithmetic end to end (budget = (total·permille) div 1000,
     bucket = ((doc_id−mn)·B) div (mx−mn+1)) — no float thresholds to
-    disagree across engines.
+    disagree across engines.  The bucket product needs (mx−mn)·n_buckets
+    to fit in a long: fine for any doc_id span below 2^63/n_buckets
+    (≈1.4e17 at the default 64).
     """
     from pyspark.sql.window import Window
 

@@ -382,3 +382,38 @@ def test_sample_stratified_skew_immune_map_only(spark):
     # determinism: same permille rates → identical sample on re-run
     again = textops.sample_stratified(docs, {"hot": 100, "cold": 500}, stratum_col="lang")
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+
+
+@pytest.mark.parametrize(
+    "ids",
+    [
+        pytest.param(list(range(50)), id="dense"),
+        pytest.param([i * 977 for i in range(50)], id="sparse-uniform"),
+        pytest.param([i for i in range(25)] + [10_000_000 + i for i in range(25)], id="two-clusters"),
+        pytest.param([0, 1, 2, 3, 5_000_000_000], id="one-huge-outlier"),
+        pytest.param([7], id="single-doc"),
+        pytest.param([0, 1], id="fewer-docs-than-buckets"),
+    ],
+)
+def test_token_budget_range_bucketing_distribution_robust(spark, ids):
+    """The contiguous-range bucketing must stay CORRECT (not balanced —
+    that's a perf property) under adversarial doc_id distributions:
+    sparse, clustered, outlier-stretched, and fewer docs than buckets.
+    Oracle: naive driver-side cumsum in (source, doc_id) order."""
+    import re
+
+    rows = [(i, ["a_src", "b_src"][i % 2], "w " * (1 + i % 5)) for i in ids]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in textops.token_budget_sample(docs, budget_permille=600).collect()
+    }
+    toks = {i: len(re.findall(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]", "w " * (1 + i % 5))) for i in ids}
+    order = sorted(ids, key=lambda i: (["a_src", "b_src"][i % 2], i))
+    budget = sum(toks.values()) * 600 // 1000
+    cum, want = 0, {}
+    for i in order:
+        cum += toks[i]
+        if cum <= budget:
+            want[i] = cum
+    assert got == want
