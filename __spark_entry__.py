@@ -609,6 +609,26 @@ def q_training_pipeline(spark, sf, materialize=True):
     )
 
 
+def q_contamination(spark, sf):
+    """Train/eval contamination detection (benchmark-leakage check): split
+    the documents table by doc_id parity into a train and an eval half,
+    report (train, eval) pairs sharing ≥2 distinct word-8-gram hashes plus
+    eval-side containment permille.  Bipartite inverted index on numeric
+    rolling shingle hashes — never a doc×doc join."""
+    d = _t(spark, sf, "documents")
+    return textops.contamination_pairs(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+    )
+
+
+def q_span_dedup(spark, sf):
+    """Corpus-wide duplicated-span removal (CCNet/Dolma line dedup with
+    16-token spans standing in for lines): a span instance survives iff it
+    is the first corpus occurrence by (doc_id, pos); docs reassemble from
+    surviving spans; output is span counts + md5 of the cleaned text."""
+    return textops.span_dedup(_t(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -664,6 +684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "sample_stratified": q_sample_stratified,
         "token_budget": q_token_budget,
+        "contamination": q_contamination,
+        "span_dedup": q_span_dedup,
         "training_pipeline": q_training_pipeline,
     }
 
@@ -697,6 +719,31 @@ _SIG_CTES = (
     f" sig AS (SELECT doc_id, salt_id, min((a * (1 + x) + b) % {_MH_P}) AS minhash"
     "   FROM salted GROUP BY doc_id, salt_id)"
 )
+def _roll_expr(n: int) -> str:
+    """DuckDB twin of textops.rolling_shingle_hashes for width ``n``: the
+    same per-step (acc·B + hs[i+j]) mod P fold, as a nested expression."""
+    e = "hs[i]"
+    for j in range(1, n):
+        e = f"(({e}) * {_MH_B} + hs[i+{j}]) % {_MH_P}"
+    return e
+
+
+def _shingle_side_ctes(alias: str, where: str, out_col: str, n: int = 8) -> str:
+    """CTE chain producing (out_col, sh): distinct width-``n`` rolling
+    shingle hashes per doc for one side of the bipartite contamination
+    join."""
+    return (
+        f" {alias}t AS (SELECT doc_id, " + _TOKS + f" AS toks FROM documents WHERE {where}),"
+        f" {alias}h AS (SELECT doc_id, list_transform(toks, tk -> "
+        + _H60.format(x="tk") + f" % {_MH_P}) AS hs FROM {alias}t),"
+        f" {alias}w AS (SELECT doc_id AS {out_col}, CASE WHEN len(hs) >= {n} THEN"
+        f"   list_distinct(list_transform(generate_series(1, len(hs) - {n - 1}),"
+        f"     i -> {_roll_expr(n)}))"
+        f"   ELSE [] END AS ws FROM {alias}h),"
+        f" {alias}s AS (SELECT {out_col}, unnest(ws) AS sh FROM {alias}w)"
+    )
+
+
 _BANDS_CTE = (
     " bands AS (SELECT doc_id, (salt_id // 2) AS band_id,"
     "   md5(array_to_string(list_sort(list(minhash::varchar)), ',')) AS band_hash"
@@ -1103,6 +1150,39 @@ def oracle_sql() -> dict[str, str]:
             "   FROM toks k JOIN offs o USING (source)),"
             " tot AS (SELECT ((sum(n_tokens) * 400) // 1000)::bigint AS budget FROM toks)"
             "SELECT doc_id, source, n_tokens, cum_tokens FROM cum, tot WHERE cum_tokens <= budget"
+        ),
+        "contamination": (
+            # bipartite inverted index mirrored: identical rolling 8-gram
+            # hashes both engines, train-side stop-shingle cap (>100 docs),
+            # integer containment permille
+            "WITH" + _shingle_side_ctes("tr", "doc_id % 2 = 0", "train_doc_id")
+            + "," + _shingle_side_ctes("ev", "doc_id % 2 = 1", "eval_doc_id") + ","
+            " hot AS (SELECT sh FROM trs GROUP BY sh HAVING count(*) > 100),"
+            " tf AS (SELECT trs.* FROM trs ANTI JOIN hot USING (sh)),"
+            " etot AS (SELECT eval_doc_id, count(*)::bigint AS eval_total FROM evs GROUP BY eval_doc_id),"
+            " com AS (SELECT train_doc_id, eval_doc_id, count(*)::bigint AS n_common"
+            "   FROM tf JOIN evs USING (sh) GROUP BY 1, 2 HAVING count(*) >= 2)"
+            "SELECT train_doc_id, eval_doc_id, n_common, eval_total,"
+            " ((n_common * 1000) // eval_total)::bigint AS containment_permille"
+            " FROM com JOIN etot USING (eval_doc_id)"
+        ),
+        "span_dedup": (
+            # 16-token spans; first corpus occurrence by (doc_id, pos) via
+            # the same row_number tie rule; cleaned text reassembled in pos
+            # order and md5'd on both engines
+            "WITH st AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
+            " sp0 AS (SELECT doc_id, toks,"
+            "   unnest(generate_series(0, ((len(toks) + 15) // 16 - 1)::bigint)) AS pos FROM st),"
+            " sp AS (SELECT doc_id, pos,"
+            "   array_to_string(toks[(pos*16+1):(pos*16+16)], ' ') AS span FROM sp0),"
+            " rk AS (SELECT doc_id, pos, span,"
+            "   row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, pos) AS rn FROM sp),"
+            " kept AS (SELECT doc_id, pos, span FROM rk WHERE rn = 1),"
+            " agg AS (SELECT doc_id, count(*)::bigint AS n_kept,"
+            "   md5(string_agg(span, ' ' ORDER BY pos)) AS clean_hash FROM kept GROUP BY doc_id),"
+            " tot AS (SELECT doc_id, ((len(toks) + 15) // 16)::int AS n_spans FROM st)"
+            "SELECT tot.doc_id, n_spans, coalesce(n_kept, 0)::bigint AS n_kept,"
+            " coalesce(clean_hash, md5('')) AS clean_hash FROM tot LEFT JOIN agg USING (doc_id)"
         ),
         "training_pipeline": (
             # the composite chain, mirrored stage for stage: quality gate →

@@ -44,6 +44,8 @@ HEADLINE = [
     "pii_scrub",
     "sample_stratified",
     "token_budget",
+    "contamination",
+    "span_dedup",
     "ann_cosine_topk",
     "ann_cosine_lsh",
     "ann_cosine_ivf",

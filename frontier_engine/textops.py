@@ -1242,3 +1242,116 @@ def token_budget_sample(
         .filter(F.col("cum_tokens") <= F.col("budget"))
         .select("doc_id", source_col, "n_tokens", "cum_tokens")
     )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    shingle_n: int = 8,
+    min_overlap: int = 2,
+    max_train_docs_per_shingle: int = 100,
+) -> DataFrame:
+    """Train/eval contamination detection: for each (train doc, eval doc)
+    pair, count the DISTINCT word-``shingle_n``-gram hashes they share and
+    report pairs with ≥ ``min_overlap`` shared shingles plus the eval-side
+    containment (shared / eval-distinct, in permille — integer, so the SQL
+    twin agrees exactly).  This is the benchmark-leakage check every
+    training-corpus pipeline runs before a model ships (n-gram overlap à la
+    the GPT-3/PaLM contamination appendices): a high-containment pair means
+    the eval document's text substantially appears in the training corpus.
+
+    Scale shape — BIPARTITE inverted index, never a doc×doc join: shingles
+    roll as numeric hashes (no shingle strings, same machinery as
+    ngram_jaccard_pairs), each side dedups per doc, the equi-join on the
+    8-byte shingle key pairs only docs that actually share a shingle, and
+    ``max_train_docs_per_shingle`` drops stop-shingles whose train
+    posting-list would explode the join (the standard guard; a leaked eval
+    doc is found by its rarer shingles anyway).  Output is all-integer:
+    (train_doc_id, eval_doc_id, n_common, eval_total, containment_permille).
+    """
+    def side(df, out):
+        return df.select(
+            F.col("doc_id").alias(out),
+            F.transform(
+                tokens_col(F.col("text")), lambda tk: _h60(tk) % MINHASH_PRIME
+            ).alias("hs"),
+        ).select(
+            out,
+            F.explode(
+                F.array_distinct(rolling_shingle_hashes(F.col("hs"), shingle_n))
+            ).alias("sh"),
+        )
+
+    t = side(train, "train_doc_id")
+    e = side(eval_docs, "eval_doc_id")
+    # stop-shingle guard on the TRAIN side (the big side at 100 TB)
+    hot = (
+        t.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_train_docs_per_shingle)
+        .select("sh")
+    )
+    t = t.join(F.broadcast(hot), "sh", "left_anti")
+    etot = e.groupBy("eval_doc_id").agg(F.count(F.lit(1)).alias("eval_total"))
+    common = (
+        t.join(e, "sh")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_overlap)
+    )
+    return common.join(etot, "eval_doc_id").select(
+        "train_doc_id",
+        "eval_doc_id",
+        "n_common",
+        "eval_total",
+        F.expr("(n_common * 1000) div eval_total").alias("containment_permille"),
+    )
+
+
+def span_dedup(docs: DataFrame, span_tokens: int = 16) -> DataFrame:
+    """Corpus-wide duplicated-span removal — CCNet/Dolma line-level dedup
+    generalized to fixed ``span_tokens``-token spans (this corpus has no
+    newlines, so the span IS the "line"): each doc's token stream splits
+    into consecutive non-overlapping spans, a span instance survives iff it
+    is the FIRST occurrence of that span text in the corpus (ordered by
+    doc_id, then position), and each doc is reassembled from its surviving
+    spans in order.  Boilerplate repeated across pages (headers, footers,
+    navigation) disappears from every copy but the first.
+
+    Scale shape: the explode is ×(tokens/span_tokens) ≈ ×4 rows/doc (spans,
+    not windows — unlike shingles there is no quadratic blowup and span
+    STRINGS are cheap, ~4 per doc); first-occurrence selection is one
+    row_number window PARTITIONED BY the span hash (group size = duplicate
+    count, hash-distributed); reassembly is one groupBy(doc_id) with an
+    ordered array fold.  Output stays slim — the cleaned text is emitted as
+    ``clean_hash`` (md5), with span counts for the rate check.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens_col(F.col("text"))
+    n_spans = ((F.size(toks) + F.lit(span_tokens - 1)) / F.lit(span_tokens)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(toks, i * span_tokens + 1, span_tokens), " "),
+    )
+    ex = docs.select("doc_id", F.posexplode(spans).alias("pos", "span"))
+    w = Window.partitionBy(F.md5("span")).orderBy("doc_id", "pos")
+    kept = ex.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                    lambda s: s["span"],
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )
+    totals = docs.select("doc_id", n_spans.alias("n_spans"))
+    return totals.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("clean_hash"), F.md5(F.lit(""))).alias("clean_hash"),
+    )

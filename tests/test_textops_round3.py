@@ -417,3 +417,66 @@ def test_token_budget_range_bucketing_distribution_robust(spark, ids):
         if cum <= budget:
             want[i] = cum
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 4: contamination check + span dedup
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_detects_planted_leak(spark):
+    """An eval doc whose text is lifted from a train doc must surface with
+    full containment; an unrelated eval doc must not pair at all."""
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    train = _docs(spark, [(0, leak + " plus some training tail here"),
+                          (2, "completely separate training content with other words")])
+    ev = _docs(spark, [(1, leak), (3, "nothing shared with any training document at all")])
+    out = {(r["train_doc_id"], r["eval_doc_id"]): r
+           for r in textops.contamination_pairs(train, ev, min_overlap=2).collect()}
+    assert (0, 1) in out
+    assert out[(0, 1)]["containment_permille"] == 1000  # every eval shingle leaked
+    assert all(e != 3 for (_, e) in out)
+
+
+def test_contamination_stop_shingle_cap(spark):
+    """A shingle present in more train docs than the cap is dropped from
+    the index — pairs supported ONLY by it disappear."""
+    boiler = "one two three four five six seven eight"
+    train = _docs(spark, [(i * 2, boiler + f" unique{i} filler words here") for i in range(5)])
+    ev = _docs(spark, [(1, boiler)])
+    with_cap = textops.contamination_pairs(train, ev, min_overlap=1, max_train_docs_per_shingle=3)
+    without = textops.contamination_pairs(train, ev, min_overlap=1, max_train_docs_per_shingle=100)
+    assert with_cap.count() == 0      # the only shared shingle is hot → dropped
+    assert without.count() == 5       # cap off: all five train docs pair
+
+
+def test_span_dedup_keeps_first_occurrence_only(spark):
+    """Intra- and inter-doc repeated spans vanish except the (doc_id, pos)
+    minimum; unique spans survive; reassembly hash matches the expected
+    cleaned text."""
+    import hashlib
+
+    span = "a b c d e f g h"          # exactly one 8-token span
+    docs = _docs(spark, [
+        (1, f"{span} {span} {span} {span}"),          # 4 identical spans
+        (2, f"{span} unique tail words live here now p q"),  # dup + unique
+        (3, "totally different words"),
+    ])
+    out = {r["doc_id"]: r for r in textops.span_dedup(docs, span_tokens=8).collect()}
+    assert (out[1]["n_spans"], out[1]["n_kept"]) == (4, 1)
+    assert out[1]["clean_hash"] == hashlib.md5(span.encode()).hexdigest()
+    assert (out[2]["n_spans"], out[2]["n_kept"]) == (2, 1)  # first span seen in doc 1
+    assert out[2]["clean_hash"] == hashlib.md5(b"unique tail words live here now p q").hexdigest()
+    assert (out[3]["n_spans"], out[3]["n_kept"]) == (1, 1)
+
+
+def test_span_dedup_all_duplicate_doc_empty_reassembly(spark):
+    """A doc made entirely of spans first seen elsewhere keeps nothing:
+    n_kept 0 and the md5('') sentinel hash."""
+    import hashlib
+
+    span = "w x y z"
+    docs = _docs(spark, [(1, span), (2, span)])
+    out = {r["doc_id"]: r for r in textops.span_dedup(docs, span_tokens=4).collect()}
+    assert (out[2]["n_kept"], out[2]["clean_hash"]) == (0, hashlib.md5(b"").hexdigest())
+    assert out[1]["n_kept"] == 1

@@ -48,6 +48,8 @@ AUDIT = {
     "tfidf_topterms": {"pushed": False, "broadcast": False, "window_limit": True},
     "sample_stratified": {"pushed": False, "broadcast": False},
     "training_pipeline": {"pushed": True, "broadcast": False},
+    "contamination": {"pushed": True, "broadcast": True},
+    "span_dedup": {"pushed": False, "broadcast": False},
     # not a queries() entry (needs an index path + query vectors); injected
     # in main() — the check that matters is the literal cluster_id IN
     # partition filter pruning index files at the listing
@@ -97,7 +99,9 @@ def audit_one(spark, name, fn, sf, expect):
     if expect.get("partition_filters"):
         after = plan.split("PartitionFilters: [", 1)
         checks["partition_filters"] = len(after) == 2 and "cluster_id" in after[1][:300]
-    checks["codegen"] = "WholeStageCodegen" in executed or "*(1)" in executed
+    import re
+
+    checks["codegen"] = "WholeStageCodegen" in executed or bool(re.search(r"\*\(\d+\)", executed))
     return plan, checks
 
 
