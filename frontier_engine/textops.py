@@ -1260,14 +1260,19 @@ def contamination_pairs(
     the GPT-3/PaLM contamination appendices): a high-containment pair means
     the eval document's text substantially appears in the training corpus.
 
-    Scale shape — BIPARTITE inverted index, never a doc×doc join: shingles
-    roll as numeric hashes (no shingle strings, same machinery as
-    ngram_jaccard_pairs), each side dedups per doc, the equi-join on the
-    8-byte shingle key pairs only docs that actually share a shingle, and
-    ``max_train_docs_per_shingle`` drops stop-shingles whose train
-    posting-list would explode the join (the standard guard; a leaked eval
-    doc is found by its rarer shingles anyway).  Output is all-integer:
-    (train_doc_id, eval_doc_id, n_common, eval_total, containment_permille).
+    Scale shape — BIPARTITE inverted index, never a doc×doc join, and the
+    asymmetry is the whole design: the eval side is an evaluation suite
+    (thousands of docs — MBs of shingle hashes) while the train side is
+    the 100 TB corpus.  Eval shingles BROADCAST, so the first touch of the
+    train side is a map-side broadcast semi-join that discards every train
+    shingle no eval doc contains — the train corpus is never shuffled, and
+    everything after operates on the matched sliver.  The
+    ``max_train_docs_per_shingle`` stop-shingle cap is counted AFTER that
+    restriction (identical result: a shingle's train-df is unchanged by
+    dropping shingles eval never mentions, and unmatched shingles produce
+    no pairs anyway) so the df count aggregates the sliver, not the
+    corpus.  Output is all-integer: (train_doc_id, eval_doc_id, n_common,
+    eval_total, containment_permille).
     """
     def side(df, out):
         return df.select(
@@ -1284,7 +1289,11 @@ def contamination_pairs(
 
     t = side(train, "train_doc_id")
     e = side(eval_docs, "eval_doc_id")
-    # stop-shingle guard on the TRAIN side (the big side at 100 TB)
+    # map-side restrict: train postings for shingles eval actually has —
+    # the 100 TB side never shuffles
+    t = t.join(F.broadcast(e.select("sh").distinct()), "sh")
+    # stop-shingle guard, counted over the matched sliver (df per shingle
+    # is identical to the full-corpus count for every surviving shingle)
     hot = (
         t.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > max_train_docs_per_shingle)
@@ -1293,12 +1302,12 @@ def contamination_pairs(
     t = t.join(F.broadcast(hot), "sh", "left_anti")
     etot = e.groupBy("eval_doc_id").agg(F.count(F.lit(1)).alias("eval_total"))
     common = (
-        t.join(e, "sh")
+        t.join(F.broadcast(e), "sh")
         .groupBy("train_doc_id", "eval_doc_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_overlap)
     )
-    return common.join(etot, "eval_doc_id").select(
+    return common.join(F.broadcast(etot), "eval_doc_id").select(
         "train_doc_id",
         "eval_doc_id",
         "n_common",
