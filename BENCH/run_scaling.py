@@ -219,8 +219,14 @@ def main():
     prereg, legacy = load_history(pages)
     history = prereg + legacy  # for the sweep table (all rows shown)
     gate_rows = prereg if prereg else legacy
+    # label the gate with the protocol that ACTUALLY produced it — when no
+    # prereg-v1 sweeps exist at this corpus size the gate falls back to
+    # legacy rows, and the report must say so (ADVICE r4)
+    gate_proto = "prereg-v1" if prereg else "legacy (no prereg-v1 sweeps at this size)"
     median_eff = median([r["scaling_efficiency"] for r in gate_rows] or [eff])
-    legacy_all_median = median([r["scaling_efficiency"] for r in legacy]) if legacy else None
+    legacy_all_median = (
+        median([r["scaling_efficiency"] for r in legacy]) if legacy else "—"
+    )
 
     md = f"""# BENCH/BASELINE.md — scaling evidence (N vs 4N)
 
@@ -260,16 +266,17 @@ each row is an independent fresh-JVM pair, warm-up + best-of-trials):
         for i, h in enumerate(history)
     ) + f"""
 
-**Gate = median efficiency over the {len(gate_rows)} `prereg-v1` sweeps =
+**Gate = median efficiency over the {len(gate_rows)} `{gate_proto}` sweeps =
 {median_eff}.**  `prereg-v1` rows were run under the PRE-REGISTERED
 contamination criterion (ADVICE r3): a 2-s `/proc/stat` busy-fraction
 sample taken BEFORE each child JVM starts, threshold {CONTAM_BUSY_FRAC}
 fixed in `run_scaling.py` under version control — a row is excluded only
 by that automatic flag, never by a judgement made after seeing its
 efficiency.  Legacy rows (no telemetry) are shown above for the record;
-their no-exclusions median is {legacy_all_median} (one legacy row carried
-a discretionary contamination flag, which this protocol supersedes — with
-it included the legacy median is reported as-is, unexcluded).
+their no-exclusions median is {legacy_all_median}{'''  (one legacy row
+carried a discretionary contamination flag, which this protocol
+supersedes — with it included the legacy median is reported as-is,
+unexcluded)''' if legacy else ' — no legacy rows exist at this size'}.
 
 The 4N wall time is stable across sweeps (spread ~10%) while the N side
 swings ~25%: shared-host noise lands in the low-parallelism denominator,

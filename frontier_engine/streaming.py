@@ -141,6 +141,53 @@ def stream_dedup_exact(
     return d.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["text_hash"])
 
 
+def stream_span_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    span_tokens: int = 16,
+    ts_col: str = "ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming twin of :func:`textops.span_dedup` (CCNet line dedup as
+    fixed token spans): documents arrive continuously, each splits into
+    consecutive ``span_tokens``-token spans, and only the FIRST instance of
+    each span text is emitted — boilerplate repeated across later pages is
+    suppressed at ingest.
+
+    Semantics delta vs the batch op, stated rather than hidden: batch
+    keep-first is the corpus-global (doc_id, pos) minimum; the stream keeps
+    the ARRIVAL-first instance within the watermark horizon (the only
+    information a stream has).  When arrival order follows doc_id — the
+    append-only crawl case — and duplicates land inside the watermark, the
+    surviving span SET is identical (one instance per distinct span either
+    way), which is what the twin test asserts.  Spans recurring farther
+    apart than the watermark are re-emitted and reconciled by the batch
+    op over the accumulated table — the same stream + periodic-compaction
+    split as stream_dedup_exact.
+
+    State is bounded by (arrival rate × watermark × ~4 spans/doc), never
+    the corpus: each state entry is one md5 key, the exploded span STRING
+    is dropped before the stateful operator."""
+    from frontier_engine.textops import tokens_col
+
+    d = spark.readStream.schema(schema).parquet(docs_dir)
+    d = d.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    toks = tokens_col(F.col("text"))
+    n_spans = ((F.size(toks) + F.lit(span_tokens - 1)) / F.lit(span_tokens)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(toks, i * span_tokens + 1, span_tokens), " "),
+    )
+    ex = d.select("doc_id", ts_col, F.posexplode(spans).alias("pos", "span"))
+    ex = ex.select("doc_id", ts_col, "pos", F.md5("span").alias("span_hash"))
+    return (
+        ex.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["span_hash"])
+        .select("doc_id", "pos", "span_hash", ts_col)
+    )
+
+
 def stream_text_signals(spark: SparkSession, docs_dir: str, schema) -> DataFrame:
     """Text-quality + PII signals over a document STREAM.
 

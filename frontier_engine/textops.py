@@ -1303,13 +1303,23 @@ def contamination_pairs(
     e = side(eval_docs, "eval_doc_id")
     # size-guarded broadcast: measure the small side (one job over eval
     # only), broadcast iff it fits the contract, else shuffle-join — the
-    # guard makes the "eval suite is MBs" assumption executable
-    n_eval_shingles = e.select("sh").distinct().count()
-    bcast = F.broadcast if n_eval_shingles <= max_broadcast_shingles else (lambda df: df)
+    # guard makes the "eval suite is MBs" assumption executable.  The
+    # distinct-hash set is checkpointed so the count and the restrict join
+    # share ONE computation (8 bytes/key — tiny under the contract, and
+    # bounded by the distinct-key count even when oversized)
+    # one eager materialization serves all four consumers (count, restrict
+    # join, pair join, etot) — re-exploding the eval text per consumer cost
+    # more than the checkpoint at every scale tested; for an OVERSIZED eval
+    # side this is an executor-local spill (graceful), never a broadcast
+    e = e.localCheckpoint(eager=True)
+    esh = e.select("sh").distinct()
+    n_eval_shingles = esh.count()
+    small = n_eval_shingles <= max_broadcast_shingles
+    bcast = F.broadcast if small else (lambda df: df)
     # map-side restrict: train postings for shingles eval actually has —
     # the 100 TB side never shuffles (when eval is within the broadcast
     # bound; an oversized eval side degrades to a shuffle join instead)
-    t = t.join(bcast(e.select("sh").distinct()), "sh")
+    t = t.join(bcast(esh), "sh")
     # stop-shingle guard, counted over the matched sliver (df per shingle
     # is identical to the full-corpus count for every surviving shingle)
     hot = (

@@ -68,7 +68,11 @@ def test_decode_falls_back_to_stub_on_undecodable_bytes():
 def test_pil_real_decode_when_available():
     """Activates wherever PIL exists.  A CI runner that HAS PIL must treat
     a skip here as a FAILURE (README 'Library-gated tests')."""
-    PIL = pytest.importorskip("PIL.Image")
+    PIL = pytest.importorskip(
+        "PIL.Image",
+        reason="PIL not installed in this sandbox — a CI runner that HAS it "
+        "must treat this skip as a FAILURE (README 'Library-gated tests')",
+    )
     import io
 
     from frontier_engine import multimodal
@@ -114,7 +118,11 @@ def test_pil_real_resize_when_available(spark):
     max_dim must come back truly re-encoded with the aspect ratio
     preserved.  A CI runner that HAS PIL must treat a skip here as a
     FAILURE (README 'Library-gated tests')."""
-    PIL = pytest.importorskip("PIL.Image")
+    PIL = pytest.importorskip(
+        "PIL.Image",
+        reason="PIL not installed in this sandbox — a CI runner that HAS it "
+        "must treat this skip as a FAILURE (README 'Library-gated tests')",
+    )
     import io
 
     from frontier_engine.multimodal import MEDIA_SCHEMA, resize_images
