@@ -42,7 +42,7 @@ from frontier_engine.metrics import round_metrics
 from frontier_engine.politeness import (
     join_host_policy,
     rank_and_quota,
-    robots_allowed,
+    robots_blocked_col,
     salted_repartition,
 )
 from frontier_engine.storage import SnapshotStore
@@ -263,16 +263,27 @@ def run_crawl(
             n_shards=cfg.bloom_shards, prune_shard_col=prune_col, validate_shards=False,
         )
 
-        # 3-4. politeness: policy join, robots, per-host rank+quota
+        # 3-4. politeness: policy join, robots, per-host rank+quota.
+        # The robots verdict is a FLAG COLUMN on one persisted frame, not a
+        # subtract of two frames: the old subtract re-derived the whole
+        # candidate lineage — bloom-probe cogroup included — twice more
+        # inside the frontier checkpoint job, which profiling showed was
+        # that job's dominant cost (~3s/round at bench scale).  One persist
+        # materializes the probe + policy join once; rank/quota, blocked
+        # keys and not_selected all read the cache.
         cand = join_host_policy(unseen, host_policy)
         blocked_keys = None
         if cfg.honor_robots:
-            allowed = robots_allowed(cand)
+            cand = cand.withColumn("__robots_blocked", robots_blocked_col())
+        cand = cand.persist()
+        if cfg.honor_robots:
             # robots-blocked rows leave the frontier permanently (else they
             # would stay pending forever and the loop could never drain)
-            blocked_keys = cand.select("url_key").subtract(allowed.select("url_key"))
-            cand = allowed
-        batch = rank_and_quota(cand, cfg.round_seconds, cfg.max_per_host_per_round)
+            blocked_keys = cand.filter(F.col("__robots_blocked")).select("url_key")
+            cand_ok = cand.filter(~F.col("__robots_blocked")).drop("__robots_blocked")
+        else:
+            cand_ok = cand
+        batch = rank_and_quota(cand_ok, cfg.round_seconds, cfg.max_per_host_per_round)
 
         # 5. salt the hot hosts across tasks; persist — batch feeds both the
         # fetch and the not_selected anti-join (else the whole candidate
@@ -326,21 +337,27 @@ def run_crawl(
             )
         )
         leftover = frontier.filter((F.col("status").isin("pending", "retry")) & (F.col("not_before") > F.lit(now)))
-        # rows not selected this round (over quota / bloom-deferred) stay pending
+        # rows not selected this round (over quota / bloom-deferred) stay
+        # pending.  ONE anti-join against the UNION of exclusion key sets
+        # (selected, just-seen-via-dup-key, robots-blocked) — three chained
+        # anti-joins were three sequential shuffle stages for identical
+        # semantics, and the per-round stage count is the constant the
+        # scaling gate pays (union is shuffle-free; anti-join ignores
+        # duplicate keys on the build side)
         selected_keys = batch.select("url_key")
-        not_selected = (
-            pending.join(selected_keys, "url_key", "left_anti")
-            .join(seen_df.select("url_key"), "url_key", "left_anti")  # may have just been seen via dup key
-        )
+        exclude = selected_keys.unionByName(seen_df.select("url_key"))
         if blocked_keys is not None:
-            not_selected = not_selected.join(blocked_keys, "url_key", "left_anti")
-        not_selected = not_selected.select(*FRONTIER_COLS)
+            exclude = exclude.unionByName(blocked_keys)
+        not_selected = pending.join(exclude, "url_key", "left_anti").select(*FRONTIER_COLS)
         next_frontier = leftover.select(*FRONTIER_COLS).unionByName(not_selected).unionByName(retry_rows.select(*FRONTIER_COLS))
 
         if cfg.max_depth > 0:
             discovered = _expand_links(extracted, cfg, now)
+            # no distinct() on the exclusion side: an anti-join's semantics
+            # are unchanged by duplicate build-side keys, and the distinct
+            # was a whole extra shuffle stage per round
             known = seen_df.select("url_key").unionByName(next_frontier.select("url_key")).unionByName(fetched_keys)
-            fresh = discovered.join(known.distinct(), "url_key", "left_anti")
+            fresh = discovered.join(known, "url_key", "left_anti")
             next_frontier = next_frontier.unionByName(fresh.select(*FRONTIER_COLS))
 
         # 8c. pages out — per-round DELTA, never a cumulative rewrite
@@ -407,8 +424,12 @@ def run_crawl(
 
             with ThreadPoolExecutor(max_workers=3) as pool:
                 f_seen = pool.submit(seen_then_bloom)
-                f_front = pool.submit(lambda: next_frontier.localCheckpoint(eager=True))
-                f_metrics = pool.submit(lambda: m.localCheckpoint(eager=True))
+                f_front = pool.submit(
+                    lambda: timed("ckpt_frontier", round_no, lambda: next_frontier.localCheckpoint(eager=True))
+                )
+                f_metrics = pool.submit(
+                    lambda: timed("ckpt_metrics", round_no, lambda: m.localCheckpoint(eager=True))
+                )
                 seen_ck, merged_shards = f_seen.result()
                 seen_parts.append(seen_ck)
                 if merged_shards is not None:
@@ -425,6 +446,7 @@ def run_crawl(
 
         fetched.unpersist()
         batch.unpersist()
+        cand.unpersist()
         frontier = next_frontier
         now += cfg.round_seconds
 

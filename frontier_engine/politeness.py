@@ -35,17 +35,23 @@ def join_host_policy(frontier: DataFrame, host_policy: DataFrame | None) -> Data
     )
 
 
-def robots_allowed(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Drop rows whose URL path starts with any deny prefix in
+def robots_blocked_col(url_col: str = "url"):
+    """Boolean Column: URL path starts with a deny prefix in
     ``robots_rules`` (NEWLINE-separated: a comma is legal inside a URL path
     and would split one deny prefix into two bogus ones — ADVICE r2; a raw
     newline cannot survive a robots.txt line value).  Native expressions
     only: the rules column is exploded lazily via ``exists`` over a split
-    array — no UDF."""
+    array — no UDF.  Exposed as a COLUMN (not just a filter) so the round
+    loop can compute allowed and blocked rows from ONE frame instead of
+    subtracting two copies of the candidate lineage."""
     path = F.parse_url(F.col(url_col), F.lit("PATH"))
     denies = F.filter(F.split(F.coalesce(F.col("robots_rules"), F.lit("")), "\n"), lambda d: d != "")
-    blocked = F.exists(denies, lambda d: path.startswith(d))
-    return df.filter(~F.coalesce(blocked, F.lit(False)))
+    return F.coalesce(F.exists(denies, lambda d: path.startswith(d)), F.lit(False))
+
+
+def robots_allowed(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Rows of ``df`` not blocked by :func:`robots_blocked_col`."""
+    return df.filter(~robots_blocked_col(url_col))
 
 
 def parse_robots_policy(
