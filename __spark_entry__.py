@@ -638,6 +638,14 @@ def q_contamination(spark, sf):
     )
 
 
+def q_dup_ngram_coverage(spark, sf):
+    """Inter-document duplicate 8-gram coverage permille per doc (Gopher/
+    Dolma corpus signal): inverted index on numeric rolling gram hashes,
+    doc-frequency filter at min_df=2, instance-level semi-join — the
+    corpus-wide twin of the intra-doc repetition_signals."""
+    return textops.duplicate_ngram_coverage(_t(spark, sf, "documents"))
+
+
 def q_span_dedup(spark, sf):
     """Corpus-wide duplicated-span removal (CCNet/Dolma line dedup with
     16-token spans standing in for lines): a span instance survives iff it
@@ -702,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "token_budget": q_token_budget,
         "contamination": q_contamination,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
         "span_dedup": q_span_dedup,
         "training_pipeline": q_training_pipeline_entry,
     }
@@ -1182,6 +1191,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT train_doc_id, eval_doc_id, n_common, eval_total,"
             " ((n_common * 1000) // eval_total)::bigint AS containment_permille"
             " FROM com JOIN etot USING (eval_doc_id)"
+        ),
+        "dup_ngram_coverage": (
+            # same rolling 8-gram hashes both engines; df via
+            # count(DISTINCT doc_id) == Spark's (doc,g)-distinct-then-count;
+            # integer permille so the engines agree exactly
+            "WITH t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
+            " h AS (SELECT doc_id, list_transform(toks, tk -> "
+            + _H60.format(x="tk") + f" % {_MH_P}) AS hs FROM t),"
+            " gr AS (SELECT doc_id, unnest(CASE WHEN len(hs) >= 8 THEN"
+            "   list_transform(generate_series(1, len(hs) - 7), i -> " + _roll_expr(8) + ")"
+            "   ELSE [] END) AS g FROM h),"
+            " dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM gr GROUP BY g)"
+            "   WHERE df >= 2),"
+            " inst AS (SELECT doc_id, count(*)::bigint AS n_grams FROM gr GROUP BY doc_id),"
+            " cov AS (SELECT doc_id, count(*)::bigint AS dup_grams"
+            "   FROM gr SEMI JOIN dup USING (g) GROUP BY doc_id)"
+            "SELECT d.doc_id, coalesce(n_grams, 0)::bigint AS n_grams,"
+            " coalesce(dup_grams, 0)::bigint AS dup_grams,"
+            " ((coalesce(dup_grams, 0) * 1000) // greatest(coalesce(n_grams, 0), 1))::bigint"
+            "   AS coverage_permille"
+            " FROM documents d LEFT JOIN inst USING (doc_id) LEFT JOIN cov USING (doc_id)"
         ),
         "span_dedup": (
             # 16-token spans; first corpus occurrence by (doc_id, pos) via

@@ -1407,3 +1407,54 @@ def span_dedup(docs: DataFrame, span_tokens: int = 16) -> DataFrame:
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         F.coalesce(F.col("clean_hash"), F.md5(F.lit(""))).alias("clean_hash"),
     )
+
+
+def duplicate_ngram_coverage(docs: DataFrame, n: int = 8, min_df: int = 2) -> DataFrame:
+    """Inter-document duplicate n-gram coverage — the corpus-level twin of
+    the intra-doc :func:`repetition_signals` (Gopher/Dolma report both):
+    per document, the permille of its word-``n``-gram INSTANCES whose gram
+    hash occurs in at least ``min_df`` distinct documents corpus-wide.
+    High coverage marks boilerplate and templated pages even when no
+    single pair crosses a near-dup threshold, and is the standard
+    pre-filter before span-level dedup (drop or down-weight pages that are
+    mostly duplicated text rather than surgically removing their spans).
+
+    Scale shape — inverted index, never doc×doc: grams are the same
+    numeric polynomial roll the minhash/ngram family uses (no gram strings
+    ever built), one explode to gram instances (checkpointed once for its
+    three consumers), doc frequency via two PARTIAL-AGGREGATABLE groupBys
+    ((doc, gram) distinct, then gram), and coverage is a semi-join on the
+    gram hash — the hot boilerplate gram is map-side combinable at every
+    stage, the span_dedup lesson applied from the start.  All-integer
+    output: (doc_id, n_grams, dup_grams, coverage_permille).
+    """
+    ex = docs.select(
+        "doc_id",
+        F.transform(tokens_col(F.col("text")), lambda tk: _h60(tk) % MINHASH_PRIME).alias("hs"),
+    ).select("doc_id", F.explode(rolling_shingle_hashes(F.col("hs"), n)).alias("g"))
+    # one materialization feeds the df count, the per-doc totals and the
+    # coverage semi-join (same 3-consumer rationale as ngram_jaccard_pairs)
+    ex = ex.localCheckpoint(eager=True)
+    dup = (
+        ex.select("doc_id", "g").distinct()
+        .groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("g")
+    )
+    inst = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    cov = ex.join(dup, "g", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_grams")
+    )
+    return (
+        docs.select("doc_id")
+        .join(inst, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("dup_grams"), F.lit(0)).cast("long").alias("dup_grams"),
+        )
+        .withColumn(
+            "coverage_permille", F.expr("(dup_grams * 1000) div greatest(n_grams, 1)")
+        )
+    )

@@ -143,3 +143,36 @@ def test_plan_audit_headline_queries(spark):
         _, checks = audit_one(spark, name, qs[name], SF_SMALL, expect)
         failures += [f"{name}:{c}" for c, ok in checks.items() if not ok]
     assert not failures, failures
+
+
+def test_duplicate_ngram_coverage_planted(spark):
+    """Planted boilerplate: docs sharing an 8-token run must show exactly
+    the instances covered by corpus-repeated grams; a unique doc shows 0.
+    Oracle = naive Python over the same token/gram definition."""
+    import re
+    from collections import Counter
+
+    boiler = "one two three four five six seven eight"
+    rows = [
+        (0, f"{boiler} alpha beta gamma delta"),
+        (1, f"prefix words here {boiler}"),
+        (2, "entirely unique content with no shared runs at all nine ten"),
+        (3, "short"),  # < n tokens → 0 grams
+    ]
+    docs = _docs(spark, rows)
+    got = {r["doc_id"]: r for r in textops.duplicate_ngram_coverage(docs, n=8).collect()}
+
+    def grams(text):
+        toks = re.sub(r"\s+", " ", text.strip()).lower().split(" ")
+        return [tuple(toks[i : i + 8]) for i in range(len(toks) - 7)] if len(toks) >= 8 else []
+
+    df = Counter()
+    for _, t in rows:
+        for g in set(grams(t)):
+            df[g] += 1
+    for i, t in rows:
+        gs = grams(t)
+        dup = sum(1 for g in gs if df[g] >= 2)
+        assert (got[i]["n_grams"], got[i]["dup_grams"]) == (len(gs), dup), f"doc {i}"
+        assert got[i]["coverage_permille"] == (dup * 1000) // max(len(gs), 1)
+    assert got[0]["dup_grams"] == 1 and got[2]["dup_grams"] == 0 and got[3]["n_grams"] == 0
