@@ -529,6 +529,15 @@ def q_dedup_clusters(spark, sf):
     return textops.dedup_clusters(_t(spark, sf, "documents"))
 
 
+def q_dedup_keep_best(spark, sf):
+    """Quality-aware canonical selection per near-dup cluster: same LSH→CC
+    clusters as dedup_clusters, representative = max quality_permille with
+    min-doc_id tiebreak (two deterministic aggregations, engine-parity-safe
+    — no arg_max tie ambiguity).  The Dolma/FineWeb keep-the-best-copy
+    dedup policy."""
+    return textops.dedup_clusters_keep_best(_t(spark, sf, "documents"))
+
+
 def q_tfidf_topterms(spark, sf):
     """Top-3 TF-IDF terms per doc; integer output columns only (the float
     score orders but is never emitted)."""
@@ -706,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "tfidf_topterms": q_tfidf_topterms,
         "sample_stratified": q_sample_stratified,
         "token_budget": q_token_budget,
@@ -1140,6 +1150,36 @@ def oracle_sql() -> dict[str, str]:
             " lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),"
             " sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)"
             "SELECT node AS doc_id, cluster_id, cluster_size FROM lab JOIN sz USING (cluster_id)"
+        ),
+        "dedup_keep_best": (
+            # same recursive-CTE components as dedup_clusters, then the
+            # two-step deterministic representative: max quality per
+            # cluster, min doc_id among the argmax rows (arg_max tie
+            # behavior differs between engines; two aggregations don't)
+            "WITH RECURSIVE" + _SIG_CTES + "," + _BANDS_CTE + ","
+            " pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+            "   FROM bands a JOIN bands b USING (band_id, band_hash) WHERE a.doc_id < b.doc_id),"
+            " sym AS (SELECT doc_a AS node, doc_b AS nbr FROM pairs"
+            "   UNION SELECT doc_b AS node, doc_a AS nbr FROM pairs),"
+            " reach(node, r) AS ("
+            "   SELECT node, node FROM (SELECT DISTINCT node FROM sym)"
+            "   UNION"
+            "   SELECT s.node, re.r FROM sym s JOIN reach re ON re.node = s.nbr),"
+            " lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),"
+            " sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id),"
+            " qt AS (SELECT doc_id, text, " + _TOKS + " AS toks FROM documents),"
+            " q AS (SELECT doc_id,"
+            "   ((least(len(toks), 100) * 40"
+            "     + round(round(len(list_filter(toks, x -> x IN " + _EN_STOP + "))::double / greatest(len(toks), 1), 4) * 10000)::bigint * 3"
+            "     + round(round(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double / greatest(len(text), 1), 4) * 10000)::bigint * 3) // 10)::bigint AS quality_permille"
+            "   FROM qt),"
+            " best AS (SELECT cluster_id, max(quality_permille) AS best_quality"
+            "   FROM lab JOIN q ON q.doc_id = lab.node GROUP BY cluster_id),"
+            " keep AS (SELECT cluster_id, min(node) AS keep_doc_id"
+            "   FROM lab JOIN q ON q.doc_id = lab.node JOIN best USING (cluster_id)"
+            "   WHERE quality_permille = best_quality GROUP BY cluster_id)"
+            "SELECT cluster_id, keep_doc_id, best_quality, cluster_size"
+            " FROM keep JOIN best USING (cluster_id) JOIN sz USING (cluster_id)"
         ),
         "tfidf_topterms": (
             "WITH t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"

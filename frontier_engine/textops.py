@@ -1458,3 +1458,43 @@ def duplicate_ngram_coverage(docs: DataFrame, n: int = 8, min_df: int = 2) -> Da
             "coverage_permille", F.expr("(dup_grams * 1000) div greatest(n_grams, 1)")
         )
     )
+
+
+def keep_best_by_quality(clusters: DataFrame, docs: DataFrame) -> DataFrame:
+    """Quality-aware canonical selection: for each near-dup cluster, keep
+    the member with the highest ``quality_permille`` (ties broken by min
+    doc_id).  This is the Dolma/FineWeb representative policy — min-doc_id
+    keep-first is reproducible but keeps whatever crawl order found first;
+    production pipelines keep the BEST copy (longest/cleanest) and drop
+    the rest.
+
+    The tie rule is deliberately TWO deterministic aggregations (max
+    quality per cluster, then min doc_id among the argmax rows) instead of
+    a single ``max_by``: engines differ on which row ``max_by``/``arg_max``
+    returns under ties, and the two-step shape is identical integer math
+    in both.  Every stage is partial-aggregatable — no windows, no skew
+    cliff on a giant cluster.
+
+    Output: (cluster_id, keep_doc_id, best_quality, cluster_size).
+    """
+    q = docs.select("doc_id", *quality_columns()).select("doc_id", "quality_permille")
+    j = clusters.select("doc_id", "cluster_id").join(q, "doc_id")
+    best = j.groupBy("cluster_id").agg(F.max("quality_permille").alias("best_quality"))
+    keep = (
+        j.join(best, "cluster_id")
+        .filter(F.col("quality_permille") == F.col("best_quality"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+    )
+    sizes = clusters.select("cluster_id", "cluster_size").distinct()
+    return keep.join(best, "cluster_id").join(sizes, "cluster_id").select(
+        "cluster_id", "keep_doc_id", "best_quality", "cluster_size"
+    )
+
+
+def dedup_clusters_keep_best(docs: DataFrame, n_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """MinHash-LSH near-dup clusters with quality-aware representatives:
+    :func:`dedup_clusters` → :func:`keep_best_by_quality`.  The dedup
+    DECISION becomes "keep ``keep_doc_id``, drop the rest of the cluster"
+    — same clusters, better survivors."""
+    return keep_best_by_quality(dedup_clusters(docs, n_hashes=n_hashes, band_size=band_size), docs)

@@ -176,3 +176,25 @@ def test_duplicate_ngram_coverage_planted(spark):
         assert (got[i]["n_grams"], got[i]["dup_grams"]) == (len(gs), dup), f"doc {i}"
         assert got[i]["coverage_permille"] == (dup * 1000) // max(len(gs), 1)
     assert got[0]["dup_grams"] == 1 and got[2]["dup_grams"] == 0 and got[3]["n_grams"] == 0
+
+
+def test_keep_best_by_quality_deterministic(spark):
+    """Hand-built clusters: the representative is the max-quality member,
+    ties broken by min doc_id — two deterministic aggregations, no
+    arg_max tie ambiguity (the Dolma/FineWeb keep-the-best-copy policy)."""
+    rich = ("the quick brown fox jumps over the lazy dog and keeps running "
+            "through a long and very clean english sentence with many words")
+    poor = "x1 9 !!"
+    docs = _docs(spark, [(5, poor), (6, rich), (7, rich), (9, rich + " extra")])
+    clusters = spark.createDataFrame(
+        [(5, 100, 3), (6, 100, 3), (7, 100, 3), (9, 200, 1)],
+        "doc_id long, cluster_id long, cluster_size int",
+    )
+    out = {r["cluster_id"]: r for r in textops.keep_best_by_quality(clusters, docs).collect()}
+    q = {r["doc_id"]: r["quality_permille"]
+         for r in textops.quality_score(docs).select("doc_id", "quality_permille").collect()}
+    assert q[6] > q[5]                       # fixture sanity: rich beats poor
+    assert out[100]["keep_doc_id"] == 6      # max quality, tie (6 vs 7) → min doc_id
+    assert out[100]["best_quality"] == q[6]
+    assert out[100]["cluster_size"] == 3
+    assert out[200]["keep_doc_id"] == 9 and out[200]["cluster_size"] == 1

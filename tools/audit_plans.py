@@ -45,6 +45,7 @@ AUDIT = {
     "pii_scrub": {"pushed": False, "broadcast": False},
     "simhash_pairs": {"pushed": False, "broadcast": False},
     "dedup_clusters": {"pushed": False, "broadcast": False},
+    "dedup_keep_best": {"pushed": False, "broadcast": False},
     "tfidf_topterms": {"pushed": False, "broadcast": False, "window_limit": True},
     "sample_stratified": {"pushed": False, "broadcast": False},
     "training_pipeline": {"pushed": True, "broadcast": False},
