@@ -647,6 +647,19 @@ def q_contamination(spark, sf):
     )
 
 
+def q_decontaminate(spark, sf):
+    """The removal step after contamination detection: same 80/20 split as
+    q_contamination, drop train docs participating in any pair with eval
+    containment >= 500 permille; emit surviving train doc_ids.  Detection
+    -> action as one verified chain."""
+    d = _t(spark, sf, "documents")
+    out = textops.decontaminate(
+        d.filter(F.col("doc_id") % 5 != 4), d.filter(F.col("doc_id") % 5 == 4),
+        max_containment_permille=500,
+    )
+    return out.select("doc_id")
+
+
 def q_dup_ngram_coverage(spark, sf):
     """Inter-document duplicate 8-gram coverage permille per doc (Gopher/
     Dolma corpus signal): inverted index on numeric rolling gram hashes,
@@ -720,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "token_budget": q_token_budget,
         "contamination": q_contamination,
+        "decontaminate": q_decontaminate,
         "dup_ngram_coverage": q_dup_ngram_coverage,
         "span_dedup": q_span_dedup,
         "training_pipeline": q_training_pipeline_entry,
@@ -1231,6 +1245,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT train_doc_id, eval_doc_id, n_common, eval_total,"
             " ((n_common * 1000) // eval_total)::bigint AS containment_permille"
             " FROM com JOIN etot USING (eval_doc_id)"
+        ),
+        "decontaminate": (
+            # the contamination CTE chain with the final SELECT swapped:
+            # flag train docs at containment >= 500, emit the survivors
+            "WITH" + _shingle_side_ctes("tr", "doc_id % 5 <> 4", "train_doc_id")
+            + "," + _shingle_side_ctes("ev", "doc_id % 5 = 4", "eval_doc_id") + ","
+            " hot AS (SELECT sh FROM trs GROUP BY sh HAVING count(*) > 100),"
+            " tf AS (SELECT trs.* FROM trs ANTI JOIN hot USING (sh)),"
+            " etot AS (SELECT eval_doc_id, count(*)::bigint AS eval_total FROM evs GROUP BY eval_doc_id),"
+            " com AS (SELECT train_doc_id, eval_doc_id, count(*)::bigint AS n_common"
+            "   FROM tf JOIN evs USING (sh) GROUP BY 1, 2 HAVING count(*) >= 2),"
+            " flagged AS (SELECT DISTINCT train_doc_id FROM com JOIN etot USING (eval_doc_id)"
+            "   WHERE ((n_common * 1000) // eval_total) >= 500)"
+            "SELECT doc_id FROM documents WHERE doc_id % 5 <> 4"
+            " AND doc_id NOT IN (SELECT train_doc_id FROM flagged)"
         ),
         "dup_ngram_coverage": (
             # same rolling 8-gram hashes both engines; df via

@@ -1498,3 +1498,31 @@ def dedup_clusters_keep_best(docs: DataFrame, n_hashes: int = 8, band_size: int 
     DECISION becomes "keep ``keep_doc_id``, drop the rest of the cluster"
     — same clusters, better survivors."""
     return keep_best_by_quality(dedup_clusters(docs, n_hashes=n_hashes, band_size=band_size), docs)
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    max_containment_permille: int = 500,
+    **contamination_kwargs,
+) -> DataFrame:
+    """Act on :func:`contamination_pairs`: drop every train document that
+    participates in a pair whose eval-side containment reaches
+    ``max_containment_permille`` — the removal step every pretraining
+    pipeline runs after the detection report (GPT-3 appendix C's
+    "remove contaminated training documents" policy).
+
+    Scale shape inherits contamination_pairs' (eval side broadcast or
+    guarded-fallback; the train corpus is never shuffled); the removal
+    itself is one left-anti join against the DISTINCT flagged train ids —
+    a key set bounded by (eval docs × pairs per doc), megabytes even when
+    the train side is the full corpus.  Returns the surviving train rows
+    unchanged.
+    """
+    flagged = (
+        contamination_pairs(train, eval_docs, **contamination_kwargs)
+        .filter(F.col("containment_permille") >= max_containment_permille)
+        .select(F.col("train_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return train.join(flagged, "doc_id", "left_anti")

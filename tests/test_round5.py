@@ -198,3 +198,51 @@ def test_keep_best_by_quality_deterministic(spark):
     assert out[100]["best_quality"] == q[6]
     assert out[100]["cluster_size"] == 3
     assert out[200]["keep_doc_id"] == 9 and out[200]["cluster_size"] == 1
+
+
+def test_decontaminate_drops_leaked_train_docs(spark):
+    """A train doc containing an eval doc's text verbatim is dropped; train
+    docs with no (or sub-threshold) overlap survive unchanged."""
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = _docs(spark, [
+        (0, leak + " plus a training tail"),          # full containment → dropped
+        (2, "unrelated training content using completely different words here"),
+        (4, "another clean training document with its own unique phrasing"),
+    ])
+    ev = _docs(spark, [(1, leak)])
+    out = {r["doc_id"] for r in textops.decontaminate(train, ev).select("doc_id").collect()}
+    assert out == {2, 4}
+    # threshold above any pair's containment → nothing dropped
+    all_kept = {r["doc_id"] for r in
+                textops.decontaminate(train, ev, max_containment_permille=1001).collect()}
+    assert all_kept == {0, 2, 4}
+
+
+def test_duplicate_ngram_coverage_random_vs_naive(spark):
+    """Randomized cross-check on a tiny alphabet (forces real inter-doc
+    gram collisions): Spark coverage == naive Python for every doc."""
+    import random
+    import re
+    from collections import Counter
+
+    rng = random.Random(42)
+    rows = [
+        (i, " ".join(rng.choice("a b c d e".split()) for _ in range(rng.randint(0, 14))))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.duplicate_ngram_coverage(docs, n=4).collect()}
+
+    def grams(text):
+        t = re.sub(r"\s+", " ", text.strip()).lower()
+        toks = t.split(" ") if t else [""]
+        return [tuple(toks[i : i + 4]) for i in range(len(toks) - 3)] if len(toks) >= 4 else []
+
+    df = Counter()
+    for _, t in rows:
+        for g in set(grams(t)):
+            df[g] += 1
+    for i, t in rows:
+        gs = grams(t)
+        dup = sum(1 for g in gs if df[g] >= 2)
+        assert (got[i]["n_grams"], got[i]["dup_grams"]) == (len(gs), dup), f"doc {i}"

@@ -50,6 +50,7 @@ AUDIT = {
     "sample_stratified": {"pushed": False, "broadcast": False},
     "training_pipeline": {"pushed": True, "broadcast": False},
     "contamination": {"pushed": True, "broadcast": True},
+    "decontaminate": {"pushed": True, "broadcast": True},
     "dup_ngram_coverage": {"pushed": False, "broadcast": False},
     "span_dedup": {"pushed": False, "broadcast": False},
     # not a queries() entry (needs an index path + query vectors); injected
