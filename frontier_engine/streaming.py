@@ -188,6 +188,62 @@ def stream_span_dedup(
     )
 
 
+def stream_contamination(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    eval_docs: DataFrame,
+    shingle_n: int = 8,
+    min_overlap: int = 2,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of :func:`textops.contamination_pairs`: TRAIN
+    documents arrive continuously and are scored for eval-benchmark
+    leakage at ingest — the production shape where the eval suite is fixed
+    ahead of a crawl and every incoming page is checked before it enters
+    the corpus, instead of one batch sweep at the end.
+
+    The eval side is STATIC (a benchmark suite — MBs by the same contract
+    the batch op enforces) and its exploded posting list joins the stream
+    broadcast, so this is a stream-static broadcast join: the arriving
+    train side never shuffles against eval.  Per-doc shingles are
+    ``array_distinct``-ed BEFORE the explode, so the pair count needs no
+    streaming ``count(distinct)`` (unsupported): each (train, sh) row is
+    already unique by construction.  The aggregation is windowed on event
+    time — a doc's shingles share its timestamp, so a (train, eval) pair
+    never splits across windows; run with ``output_mode="complete"`` into
+    the test harness, or update mode with a watermark in production.
+
+    Output: (window, train_doc_id, eval_doc_id, n_common).
+    """
+    from frontier_engine.textops import MINHASH_PRIME, _h60, rolling_shingle_hashes, tokens_col
+
+    def shingle_rows(df, out, keep=()):
+        return df.select(
+            F.col("doc_id").alias(out),
+            *keep,
+            F.transform(tokens_col(F.col("text")), lambda tk: _h60(tk) % MINHASH_PRIME).alias("hs"),
+        ).select(
+            out,
+            *keep,
+            F.explode(
+                F.array_distinct(rolling_shingle_hashes(F.col("hs"), shingle_n))
+            ).alias("sh"),
+        )
+
+    ev = shingle_rows(eval_docs, "eval_doc_id")
+    sdf = spark.readStream.schema(schema).parquet(docs_dir)
+    sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    tr = shingle_rows(sdf, "train_doc_id", keep=(ts_col,))
+    joined = tr.join(F.broadcast(ev), "sh")
+    return (
+        joined.groupBy(F.window(F.col(ts_col), window), "train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_overlap)
+    )
+
+
 def stream_text_signals(spark: SparkSession, docs_dir: str, schema) -> DataFrame:
     """Text-quality + PII signals over a document STREAM.
 

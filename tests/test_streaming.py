@@ -182,3 +182,44 @@ def test_stream_span_dedup_matches_batch_set_and_resumes(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == n_kept_total + 1  # only "fresh span text" is new
     assert out.filter(F.col("doc_id") == 100).count() == 1
+
+
+def test_stream_contamination_matches_batch(spark, tmp_path):
+    """Stream-static contamination scoring at ingest must find the same
+    (train, eval) pairs with the same shared-shingle counts as the batch
+    op over the accumulated table."""
+    from frontier_engine import streaming, textops
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train_rows = [
+        (0, leak + " training tail words one two", "2024-01-01 00:05:00"),
+        (2, "completely unrelated training content with other words entirely", "2024-01-01 00:10:00"),
+        (4, leak + " second leaky training document here", "2024-01-01 00:15:00"),
+    ]
+    eval_rows = [(1, leak), (3, "nothing shared with training text at all truly")]
+    docs_dir = str(tmp_path / "docs")
+    schema = "doc_id long, text string, ts string"
+    spark.createDataFrame(train_rows, schema).write.parquet(docs_dir)
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+
+    sdf = streaming.stream_contamination(spark, docs_dir, schema, ev, min_overlap=2)
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory").queryName("contam_s")
+        .outputMode("complete").option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["train_doc_id"], r["eval_doc_id"]): r["n_common"]
+        for r in spark.sql("SELECT * FROM contam_s").collect()
+    }
+    batch = {
+        (r["train_doc_id"], r["eval_doc_id"]): r["n_common"]
+        for r in textops.contamination_pairs(
+            spark.createDataFrame([(i, t) for i, t, _ in train_rows], "doc_id long, text string"),
+            ev, min_overlap=2,
+        ).collect()
+    }
+    assert got == batch and (0, 1) in got and (4, 1) in got
+    assert all(e != 3 for (_, e) in got)
