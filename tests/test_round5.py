@@ -246,3 +246,49 @@ def test_duplicate_ngram_coverage_random_vs_naive(spark):
         gs = grams(t)
         dup = sum(1 for g in gs if df[g] >= 2)
         assert (got[i]["n_grams"], got[i]["dup_grams"]) == (len(gs), dup), f"doc {i}"
+
+
+def test_textops_degenerate_and_unicode_inputs(spark):
+    """Edge-input sweep: empty text, whitespace-only, CJK (no spaces),
+    emoji, and a very long single token must flow through the text-op
+    family without crashes, NULLs, or negative counts."""
+    rows = [
+        (0, ""),
+        (1, "   "),
+        (2, "中文文本没有空格也应当安全通过"),
+        (3, "🎉 emoji 🚀 tokens 🌟 here"),
+        (4, "x" * 10000),
+        (5, "normal english words for contrast and the usual checks"),
+    ]
+    docs = _docs(spark, rows)
+    for op in (
+        textops.quality_score,
+        textops.token_counts,
+        textops.repetition_signals,
+        lambda d: textops.duplicate_ngram_coverage(d, n=4),
+        lambda d: textops.span_dedup(d, span_tokens=4),
+        textops.pii_scrub,
+        textops.dedup_exact,
+    ):
+        out = op(docs).collect()
+        assert out, op
+        for r in out:
+            for k, v in r.asDict().items():
+                assert v is not None, f"{op}: NULL {k} in {r}"
+                if isinstance(v, (int, float)):
+                    assert v >= 0, f"{op}: negative {k} in {r}"
+
+
+def test_decontaminate_threshold_monotone(spark):
+    """Raising the containment threshold can only KEEP MORE train docs —
+    survivors at a stricter (higher) threshold are a superset."""
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    half = "alpha beta gamma delta epsilon zeta eta theta other trailing words here now"
+    train = _docs(spark, [(0, leak + " tail"), (2, half), (4, "clean unrelated text entirely")])
+    ev = _docs(spark, [(1, leak)])
+    survivors = {}
+    for thr in (1, 400, 800, 1001):
+        survivors[thr] = {r["doc_id"] for r in
+                          textops.decontaminate(train, ev, max_containment_permille=thr).collect()}
+    assert survivors[1] <= survivors[400] <= survivors[800] <= survivors[1001]
+    assert survivors[1001] == {0, 2, 4}  # nothing reaches an impossible threshold
