@@ -647,6 +647,13 @@ def q_contamination(spark, sf):
     )
 
 
+def q_unigram_surprisal(spark, sf):
+    """Per-doc mean unigram surprisal in integer 1e-4 nats — the
+    perplexity-filter stand-in (corpus unigram distribution as the model);
+    ordered float fold matches DuckDB list_sum, integer output."""
+    return textops.unigram_surprisal(_t(spark, sf, "documents"))
+
+
 def q_decontaminate(spark, sf):
     """The removal step after contamination detection: same 80/20 split as
     q_contamination, drop train docs participating in any pair with eval
@@ -734,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "contamination": q_contamination,
         "decontaminate": q_decontaminate,
+        "unigram_surprisal": q_unigram_surprisal,
         "dup_ngram_coverage": q_dup_ngram_coverage,
         "span_dedup": q_span_dedup,
         "training_pipeline": q_training_pipeline_entry,
@@ -1245,6 +1253,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT train_doc_id, eval_doc_id, n_common, eval_total,"
             " ((n_common * 1000) // eval_total)::bigint AS containment_permille"
             " FROM com JOIN etot USING (eval_doc_id)"
+        ),
+        "unigram_surprisal": (
+            # zipped unnest gives (pos, term); tf/total are exact integers;
+            # the per-doc sum is list_sum over a pos-ORDERED list — the
+            # same ordered-left-fold pairing as Spark's aggregate over the
+            # array_sort'ed structs (proven identical in dedup_embedding)
+            "WITH t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
+            " tok AS (SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term FROM t),"
+            " tok2 AS (SELECT * FROM tok WHERE term <> ''),"
+            " tf AS (SELECT term, count(*)::bigint AS tf FROM tok2 GROUP BY term),"
+            " tot AS (SELECT count(*)::bigint AS tt FROM tok2),"
+            " per AS (SELECT doc_id, pos, -ln(tf::double / tt) AS s FROM tok2 JOIN tf USING (term), tot),"
+            " agg AS (SELECT doc_id, count(*)::bigint AS n_tokens,"
+            "   list_sum(list(s ORDER BY pos)) AS ts FROM per GROUP BY doc_id)"
+            "SELECT d.doc_id, coalesce(n_tokens, 0)::bigint AS n_tokens,"
+            " coalesce(round(ts / n_tokens * 10000), 0)::bigint AS surprisal_e4"
+            " FROM documents d LEFT JOIN agg USING (doc_id)"
         ),
         "decontaminate": (
             # the contamination CTE chain with the final SELECT swapped:

@@ -1526,3 +1526,55 @@ def decontaminate(
         .distinct()
     )
     return train.join(flagged, "doc_id", "left_anti")
+
+
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Per-document mean unigram surprisal — the deterministic stand-in
+    for perplexity-based quality filtering (CCNet/RedPajama rank documents
+    by LM perplexity; with no model in scope, the corpus's own unigram
+    distribution is the model): for each token, surprisal = −ln(tf/T)
+    under corpus-wide term frequencies, averaged per doc and emitted as an
+    integer (×10⁴ nats) so cross-engine hashing never touches float
+    formatting.  Rare-word-dense documents score high (informative or
+    garbage — both ends get inspected), boilerplate scores low.
+
+    Scale shape: term frequencies are one partial-aggregatable groupBy
+    (the inverted-index family); the corpus total joins as a broadcast
+    one-row frame (never a driver scalar); the per-doc mean is an ORDERED
+    left fold over (pos, surprisal) structs — the float-sum pattern proven
+    to agree with DuckDB's ``list_sum`` in dedup_embedding_cosine — so the
+    rounding boundary is the only cross-engine risk, same as every
+    ``round(x, 4)`` site in quality_score.  No windows, no skew cliff:
+    the hottest term ("the") partial-aggregates map-side.
+
+    Output: (doc_id, n_tokens, surprisal_e4) — all integers.
+    """
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = toks.agg(F.count(F.lit(1)).alias("tt"))
+    per = (
+        toks.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "pos", (-F.log(F.col("tf") / F.col("tt"))).alias("s"))
+    )
+    doc = per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.aggregate(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x["s"]),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("ts"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.round(F.col("ts") / F.col("n_tokens") * 10000).cast("long"), F.lit(0)
+            ).alias("surprisal_e4"),
+        )
+    )

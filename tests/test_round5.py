@@ -292,3 +292,37 @@ def test_decontaminate_threshold_monotone(spark):
                           textops.decontaminate(train, ev, max_containment_permille=thr).collect()}
     assert survivors[1] <= survivors[400] <= survivors[800] <= survivors[1001]
     assert survivors[1001] == {0, 2, 4}  # nothing reaches an impossible threshold
+
+
+def test_unigram_surprisal_matches_naive(spark):
+    """Spark surprisal == naive Python (same tokenization, same -ln(tf/T),
+    same ordered sum, same x1e4 rounding); empty doc → (0, 0); rare-token
+    docs score higher than boilerplate."""
+    import math
+    import re
+    from collections import Counter
+
+    rows = [
+        (0, "the the the the the"),                # all boilerplate → low
+        (1, "zyxwv qwert plugh xyzzy frobnicate"),  # all rare → high
+        (2, "the the zyxwv"),
+        (3, ""),
+    ]
+    docs = _docs(spark, rows)
+    got = {r["doc_id"]: r for r in textops.unigram_surprisal(docs).collect()}
+
+    def toks(t):
+        t = re.sub(r"\s+", " ", t.strip()).lower()
+        return [x for x in (t.split(" ") if t else []) if x != ""]
+
+    tf = Counter(x for _, t in rows for x in toks(t))
+    total = sum(tf.values())
+    for i, t in rows:
+        tk = toks(t)
+        if not tk:
+            assert (got[i]["n_tokens"], got[i]["surprisal_e4"]) == (0, 0)
+            continue
+        s = sum(-math.log(tf[x] / total) for x in tk)
+        want = round(s / len(tk) * 10000)
+        assert (got[i]["n_tokens"], got[i]["surprisal_e4"]) == (len(tk), want), f"doc {i}"
+    assert got[1]["surprisal_e4"] > got[0]["surprisal_e4"]

@@ -52,6 +52,7 @@ AUDIT = {
     "contamination": {"pushed": True, "broadcast": True},
     "decontaminate": {"pushed": True, "broadcast": True},
     "dup_ngram_coverage": {"pushed": False, "broadcast": False},
+    "unigram_surprisal": {"pushed": False, "broadcast": True},
     "span_dedup": {"pushed": False, "broadcast": False},
     # not a queries() entry (needs an index path + query vectors); injected
     # in main() — the check that matters is the literal cluster_id IN
