@@ -662,7 +662,7 @@ def q_decontaminate(spark, sf):
     d = _t(spark, sf, "documents")
     out = textops.decontaminate(
         d.filter(F.col("doc_id") % 5 != 4), d.filter(F.col("doc_id") % 5 == 4),
-        max_containment_permille=500,
+        containment_threshold_permille=500,
     )
     return out.select("doc_id")
 
@@ -689,7 +689,27 @@ def q_span_dedup(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # DRIVER CAP: the correctness harness sweeps only the FIRST 50 dict
+    # entries, in registration order (confirmed r3: 49->49 rows, r4: 51->50,
+    # r5: 55->50 — VERDICT r5).  Ordering policy, enforced by
+    # tests/test_round6.py::test_registry_cap_policy:
+    #   * Every query WITHOUT a prior green driver CORRECTNESS row must sit
+    #     at position <= 50.
+    #   * Positions 51+ are reserved for queries whose verification lives
+    #     elsewhere: the oracle-less ANN pair (recall contract in
+    #     RECALL.json + pytest) and trivial scalar queries green in r2-r5
+    #     driver sweeps (regex_extract, content_hash, humanize_size).
+    #   * NEVER append a new op past position 50.
     return {
+        # --- r5-added queries, crosscheck-green but driver-unverified in
+        # r4/r5 because they were registered past the 50-entry cap; front
+        # of dict so CORRECTNESS_r6 records them (VERDICT r5 #1) ---
+        "training_pipeline": q_training_pipeline_entry,
+        "span_dedup": q_span_dedup,
+        "decontaminate": q_decontaminate,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
+        "unigram_surprisal": q_unigram_surprisal,
+        # --- stable, driver-green surface ---
         "pricing_summary": q_pricing_summary,
         "filter_equals": q_filter_equals,
         "filter_contains": q_filter_contains,
@@ -713,9 +733,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size_cap": q_size_cap,
         "pipeline_ops": q_pipeline_ops,
         "clean_text": q_clean_text,
-        "regex_extract": q_regex_extract,
-        "content_hash": q_content_hash,
-        "humanize_size": q_humanize_size,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
@@ -724,8 +741,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_cosine_lsh": q_ann_cosine_lsh,
-        "ann_cosine_ivf": q_ann_cosine_ivf,
         "dedup_embedding": q_dedup_embedding,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -740,11 +755,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "token_budget": q_token_budget,
         "contamination": q_contamination,
-        "decontaminate": q_decontaminate,
-        "unigram_surprisal": q_unigram_surprisal,
-        "dup_ngram_coverage": q_dup_ngram_coverage,
-        "span_dedup": q_span_dedup,
-        "training_pipeline": q_training_pipeline_entry,
+        # --- positions 51+: OUTSIDE the driver's 50-entry sweep window.
+        # ann_cosine_lsh / ann_cosine_ivf are oracle-less by design (recall
+        # contracts in RECALL.json + tests/test_ann.py); the three scalar
+        # queries below each have green driver rows in CORRECTNESS_r02
+        # through r05 (regex_extract/content_hash/humanize_size) ---
+        "ann_cosine_lsh": q_ann_cosine_lsh,
+        "ann_cosine_ivf": q_ann_cosine_ivf,
+        "regex_extract": q_regex_extract,
+        "content_hash": q_content_hash,
+        "humanize_size": q_humanize_size,
     }
 
 

@@ -46,6 +46,9 @@ HEADLINE = [
     "sample_stratified",
     "token_budget",
     "contamination",
+    "decontaminate",
+    "unigram_surprisal",
+    "dedup_keep_best",
     "span_dedup",
     "ann_cosine_topk",
     "ann_cosine_lsh",
@@ -197,11 +200,58 @@ def main():
     }
     mat_recall = round(len(truth & got_mat) / max(len(truth), 1), 3)
 
+    # streaming-twin micro-bench (VERDICT r5 #4): the three ingest-time
+    # twins had correctness tests but no throughput surface, so a streaming
+    # regression was invisible to BENCH history.  Docs/sec through a full
+    # availableNow pass of the sf documents table (ts synthesized from
+    # doc_id) — small absolute numbers, but stable enough to flag a 2x
+    # regression in the stateful path.
+    import shutil
+    import tempfile
+
+    stream_rates = {}
+    stream_tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        from frontier_engine import streaming as streamingmod
+
+        sdocs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        n_docs = sdocs.count()
+        sdocs_dir = os.path.join(stream_tmp, "docs")
+        sdocs.withColumn(
+            "ts",
+            F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, doc_id % 3600)"),
+        ).write.parquet(sdocs_dir)
+        s_schema = spark.read.parquet(sdocs_dir).schema
+        eval_static = sdocs.filter(F.col("doc_id") % 5 == 4).select("doc_id", "text")
+        builders = {
+            "stream_dedup_exact": lambda: (
+                streamingmod.stream_dedup_exact(spark, sdocs_dir, s_schema), "append"),
+            "stream_span_dedup": lambda: (
+                streamingmod.stream_span_dedup(spark, sdocs_dir, s_schema), "append"),
+            "stream_contamination": lambda: (
+                streamingmod.stream_contamination(spark, sdocs_dir, s_schema, eval_static),
+                "complete"),
+        }
+        for sname, build in builders.items():
+            sdf, mode = build()
+            ck = os.path.join(stream_tmp, f"ck_{sname}")
+            t0 = time.perf_counter()
+            sq = (
+                sdf.writeStream.format("noop").outputMode(mode)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True).start()
+            )
+            sq.awaitTermination()
+            dt = time.perf_counter() - t0
+            timings[sname] = round(dt, 3)
+            stream_rates[sname] = round(n_docs / dt, 1)
+    finally:
+        shutil.rmtree(stream_tmp, ignore_errors=True)
+
     # crawl pipeline benchmark: synth corpus at input_hint shape (parquet-
     # backed, as in production — never a driver-local plan), bloom on,
     # depth-1 expansion, big politeness budget (throughput-bound, not
     # politeness-bound) — metric is URLs fetched+deduped per second
-    import tempfile
 
     corpus_dir = os.path.join(tempfile.gettempdir(), f"bench_corpus_{CRAWL_PAGES}")
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
@@ -276,6 +326,17 @@ def main():
                     "pages_fetched": n_pages,
                     "urls_seen": n_seen,
                     "sec": crawl_sec,
+                },
+                "streaming_docs_per_sec": stream_rates,
+                # methodology labels (ADVICE r5): BENCH history mixes
+                # single-trial rows (<= r4) with best-of-N rows; downstream
+                # comparisons must not treat the shift as a speedup
+                "methodology": {
+                    "crawl_trials": 2,
+                    "crawl_stat": "best",
+                    "ann_trials": 3,
+                    "query_trials": 1,
+                    "since_round": 5,
                 },
                 "cpus": int(cpus),
             }

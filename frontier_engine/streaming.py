@@ -197,6 +197,7 @@ def stream_contamination(
     min_overlap: int = 2,
     ts_col: str = "ts",
     window: str = "1 hour",
+    stop_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`textops.contamination_pairs`: TRAIN
     documents arrive continuously and are scored for eval-benchmark
@@ -215,7 +216,20 @@ def stream_contamination(
     never splits across windows; run with ``output_mode="complete"`` into
     the test harness, or update mode with a watermark in production.
 
-    Output: (window, train_doc_id, eval_doc_id, n_common).
+    SEMANTICS DELTA vs the batch op (ADVICE r5) — the batch
+    ``max_train_docs_per_shingle`` stop-shingle cap counts train document
+    frequency over the whole corpus, which an unbounded stream cannot do
+    (it would need a second stateful aggregation over all history).  The
+    streaming substitute is ``stop_shingles``: a STATIC (sh) frame —
+    precompute it with :func:`textops.hot_train_shingles` over a corpus
+    snapshot — subtracted broadcast-anti before pairing.  With a stop set
+    computed over the same corpus the stream output matches the batch op
+    exactly; with ``None`` (default) hot shingles are NOT capped and
+    stream/batch diverge on corpora containing them.
+
+    Output: (window, train_doc_id, eval_doc_id, n_common, eval_total,
+    containment_permille) — the same integer containment normalization as
+    the batch op (eval_total is static per eval doc, joined broadcast).
     """
     from frontier_engine.textops import MINHASH_PRIME, _h60, rolling_shingle_hashes, tokens_col
 
@@ -233,6 +247,11 @@ def stream_contamination(
         )
 
     ev = shingle_rows(eval_docs, "eval_doc_id")
+    # eval_total counts ALL distinct eval shingles (batch parity: the stop
+    # cap removes shingles from the pair count, not the denominator)
+    etot = ev.groupBy("eval_doc_id").agg(F.count(F.lit(1)).alias("eval_total"))
+    if stop_shingles is not None:
+        ev = ev.join(F.broadcast(stop_shingles), "sh", "left_anti")
     sdf = spark.readStream.schema(schema).parquet(docs_dir)
     sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     tr = shingle_rows(sdf, "train_doc_id", keep=(ts_col,))
@@ -241,6 +260,11 @@ def stream_contamination(
         joined.groupBy(F.window(F.col(ts_col), window), "train_doc_id", "eval_doc_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_overlap)
+        .join(F.broadcast(etot), "eval_doc_id")
+        .select(
+            "window", "train_doc_id", "eval_doc_id", "n_common", "eval_total",
+            F.expr("(n_common * 1000) div eval_total").alias("containment_permille"),
+        )
     )
 
 

@@ -1285,6 +1285,12 @@ def contamination_pairs(
     as broadcast rows — safely inside a 16 GB driver); the registered
     q_contamination eval slice (20% of documents at sf0.01) measures 4,425
     distinct shingles, three-plus orders of magnitude under the bound.
+
+    Eager-construction contract (ADVICE r5): CALLING this function runs
+    Spark jobs — the eval shingle explode is localCheckpoint-ed (one
+    computation for its four consumers) and then counted for the broadcast
+    guard.  The checkpointed blocks are EVAL-sized (MBs under the
+    contract), pinned until the returned frame is garbage collected.
     """
     def side(df, out):
         return df.select(
@@ -1341,6 +1347,43 @@ def contamination_pairs(
         "n_common",
         "eval_total",
         F.expr("(n_common * 1000) div eval_total").alias("containment_permille"),
+    )
+
+
+def hot_train_shingles(
+    train: DataFrame,
+    shingle_n: int = 8,
+    max_train_docs_per_shingle: int = 100,
+) -> DataFrame:
+    """Corpus-wide stop-shingle list: the distinct word-``shingle_n``-gram
+    hashes whose train document frequency exceeds
+    ``max_train_docs_per_shingle`` — the boilerplate grams
+    :func:`contamination_pairs` drops before pairing (there, counted over
+    the eval-matched sliver; here, over the whole corpus — a superset that
+    agrees exactly on every shingle eval mentions, so subtracting either
+    set yields identical pairs).  Precompute this over a corpus snapshot
+    and feed it to :func:`streaming.stream_contamination`'s
+    ``stop_shingles``, which cannot count train-df across an unbounded
+    stream.  Output: (sh) — one row per hot shingle hash.
+
+    Scale shape: one partial-aggregatable groupBy over per-doc-distinct
+    shingles; the result is tiny by construction (only grams repeated
+    across >cap documents survive).
+    """
+    t = train.select(
+        "doc_id",
+        F.transform(
+            tokens_col(F.col("text")), lambda tk: _h60(tk) % MINHASH_PRIME
+        ).alias("hs"),
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(rolling_shingle_hashes(F.col("hs"), shingle_n))).alias("sh"),
+    )
+    return (
+        t.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_train_docs_per_shingle)
+        .select("sh")
     )
 
 
@@ -1427,6 +1470,14 @@ def duplicate_ngram_coverage(docs: DataFrame, n: int = 8, min_df: int = 2) -> Da
     gram hash — the hot boilerplate gram is map-side combinable at every
     stage, the span_dedup lesson applied from the start.  All-integer
     output: (doc_id, n_grams, dup_grams, coverage_permille).
+
+    Eager-construction contract (ADVICE r5): CALLING this function runs a
+    Spark job — the gram-instance explode (linear in corpus tokens) is
+    localCheckpoint-ed so its three consumers share one computation, and
+    those blocks stay pinned on executors until the returned frame is
+    garbage collected (localCheckpoint has no explicit unpersist; at
+    100 TB budget executor storage for tokens×8 bytes or let blocks spill
+    to disk — MEMORY_AND_DISK is the checkpoint default).
     """
     ex = docs.select(
         "doc_id",
@@ -1503,14 +1554,16 @@ def dedup_clusters_keep_best(docs: DataFrame, n_hashes: int = 8, band_size: int 
 def decontaminate(
     train: DataFrame,
     eval_docs: DataFrame,
-    max_containment_permille: int = 500,
+    containment_threshold_permille: int = 500,
     **contamination_kwargs,
 ) -> DataFrame:
     """Act on :func:`contamination_pairs`: drop every train document that
     participates in a pair whose eval-side containment reaches
-    ``max_containment_permille`` — the removal step every pretraining
-    pipeline runs after the detection report (GPT-3 appendix C's
-    "remove contaminated training documents" policy).
+    ``containment_threshold_permille`` (inclusive: containment >= threshold
+    drops — ADVICE r5 renamed the param from ``max_containment_permille``,
+    whose "maximum allowed" reading contradicted the >= drop) — the removal
+    step every pretraining pipeline runs after the detection report (GPT-3
+    appendix C's "remove contaminated training documents" policy).
 
     Scale shape inherits contamination_pairs' (eval side broadcast or
     guarded-fallback; the train corpus is never shuffled); the removal
@@ -1521,14 +1574,14 @@ def decontaminate(
     """
     flagged = (
         contamination_pairs(train, eval_docs, **contamination_kwargs)
-        .filter(F.col("containment_permille") >= max_containment_permille)
+        .filter(F.col("containment_permille") >= containment_threshold_permille)
         .select(F.col("train_doc_id").alias("doc_id"))
         .distinct()
     )
     return train.join(flagged, "doc_id", "left_anti")
 
 
-def unigram_surprisal(docs: DataFrame) -> DataFrame:
+def unigram_surprisal(docs: DataFrame, max_broadcast_terms: int = 8_000_000) -> DataFrame:
     """Per-document mean unigram surprisal — the deterministic stand-in
     for perplexity-based quality filtering (CCNet/RedPajama rank documents
     by LM perplexity; with no model in scope, the corpus's own unigram
@@ -1539,13 +1592,26 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
     garbage — both ends get inspected), boilerplate scores low.
 
     Scale shape: term frequencies are one partial-aggregatable groupBy
-    (the inverted-index family); the corpus total joins as a broadcast
-    one-row frame (never a driver scalar); the per-doc mean is an ORDERED
-    left fold over (pos, surprisal) structs — the float-sum pattern proven
-    to agree with DuckDB's ``list_sum`` in dedup_embedding_cosine — so the
-    rounding boundary is the only cross-engine risk, same as every
-    ``round(x, 4)`` site in quality_score.  No windows, no skew cliff:
-    the hottest term ("the") partial-aggregates map-side.
+    (the inverted-index family); the corpus total is sum(tf) over that
+    table (one corpus scan total, and a broadcast one-row frame — never a
+    driver scalar); the per-doc mean is an ORDERED left fold over
+    (pos, surprisal) structs — the float-sum pattern proven to agree with
+    DuckDB's ``list_sum`` in dedup_embedding_cosine — so the rounding
+    boundary is the only cross-engine risk, same as every ``round(x, 4)``
+    site in quality_score.  The tf groupBy partial-aggregates map-side
+    (no skew cliff from "the"), but ``toks.join(tf)`` as a SHUFFLE join
+    re-introduces the hot-term skew on the probe side (VERDICT r5 #3):
+    for any natural-language corpus the vocabulary is Heaps-law bounded
+    and fits a broadcast, so tf is broadcast whenever its measured row
+    count is ≤ ``max_broadcast_terms`` (default 8M terms ≈ low hundreds
+    of MB as broadcast rows) and the corpus side never shuffles for the
+    join; above the bound the original shuffle join is the fallback.
+
+    Executable contract, same pattern as :func:`contamination_pairs`:
+    CONSTRUCTING this frame runs Spark jobs (tf is localCheckpoint-ed —
+    one corpus scan shared by the size probe, the total, and the join —
+    then counted); the checkpointed tf blocks (vocab-sized, not
+    corpus-sized) stay pinned until the frame is garbage collected.
 
     Output: (doc_id, n_tokens, surprisal_e4) — all integers.
     """
@@ -1553,9 +1619,14 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
         "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    total = toks.agg(F.count(F.lit(1)).alias("tt"))
+    # size-guarded broadcast: materialize the vocab once (blocks reused by
+    # the count, the total, and the join), broadcast iff it fits the bound.
+    tf = tf.localCheckpoint(eager=True)
+    n_terms = tf.count()
+    bcast = F.broadcast if n_terms <= max_broadcast_terms else (lambda df: df)
+    total = tf.agg(F.sum("tf").alias("tt"))
     per = (
-        toks.join(tf, "term")
+        toks.join(bcast(tf), "term")
         .crossJoin(F.broadcast(total))
         .select("doc_id", "pos", (-F.log(F.col("tf") / F.col("tt"))).alias("s"))
     )
