@@ -46,7 +46,7 @@ def main():
     import __spark_entry__ as entrymod
     from frontier_engine.session import get_spark
 
-    spark = get_spark(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark()  # master from SPARK_GRAFT_MASTER/SPARK_GRAFT_CPUS (default local[32])
     qs = entrymod.queries()
 
     def force(df):
