@@ -70,6 +70,16 @@ class CrawlConfig:
     n_partitions: int = 32
     checkpoint_dir: str | None = None
     bloom_bits_per_shard: int = 1 << 20  # 128 KiB/shard ≈ 100k keys at 1% fp
+    # with use_bloom + a snapshot store, persist the merged bitmaps as an
+    # aux table every K committed rounds (0 = never) so RESUME loads the
+    # filter (O(filter bytes) read) instead of rebuilding it from the full
+    # seen store (O(M) scan — 100+ s per 10^8 keys, SCALE.md §384M).  A
+    # resume finding an aux older than the latest round delta-builds only
+    # the missing rounds.  The write costs O(filter bytes) = keys ×
+    # bits_per_key/8 per persist — at 10^10 keys set K so it amortizes
+    # (resume then pays ≤ K-1 small delta builds); at sandbox scale the
+    # bitmaps are MBs and K=1 is free.
+    persist_bloom_every: int = 1
     extra: dict = field(default_factory=dict)
 
 
@@ -150,10 +160,35 @@ def run_crawl(
     pages_parts: list[DataFrame] = []
     seen_parts: list[DataFrame] = []
     metrics_parts: list[DataFrame] = []
+    # resume-time bloom state: (bitmap frame or None, highest seen-round it
+    # covers) — filled from the aux artifact when one is valid for cfg
+    resumed_bloom: DataFrame | None = None
+    resumed_bloom_round = -1
     if store is not None and (last := store.latest_round()) is not None:
         frontier = store.read(last, "frontier")
         pages_parts = [store.read(r, "pages") for r in range(last + 1) if store.has(r, "pages")]
-        seen_parts = [store.read(r, "seen") for r in range(last + 1) if store.has(r, "seen")]
+        seen_rounds = [(r, store.read(r, "seen")) for r in range(last + 1) if store.has(r, "seen")]
+        seen_parts = [df for _, df in seen_rounds]
+        if cfg.use_bloom:
+            # newest persisted filter whose config matches; an older one is
+            # still usable — the gap rounds delta-merge on top (O(delta)),
+            # never a full O(M) rebuild
+            for r in range(last, -1, -1):
+                aux = store.read_aux(
+                    r, "bloom",
+                    expect_meta={"n_shards": cfg.bloom_shards, "m_bits": cfg.bloom_bits_per_shard},
+                )
+                if aux is not None:
+                    resumed_bloom, resumed_bloom_round = aux, r
+                    break
+            if resumed_bloom is not None:
+                for r, df in seen_rounds:
+                    if r > resumed_bloom_round:
+                        delta = seenmod.build_bloom_shards(
+                            df, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits_per_shard
+                        )
+                        resumed_bloom = seenmod.merge_shards(resumed_bloom, delta)
+                resumed_bloom = resumed_bloom.localCheckpoint(eager=True)
         # metrics format is versioned in the manifest (ADVICE r2): v1
         # snapshots (no 'metrics_format' key) stored CUMULATIVE metrics, so
         # unioning every round would double-count — keep only the LAST
@@ -246,11 +281,18 @@ def run_crawl(
             continue
         rounds_run += 1
 
-        # 2. URL-seen gate — exact anti-join, optional bloom pre-filter
+        # 2. URL-seen gate — exact anti-join, optional bloom pre-filter.
+        # First use prefers the persisted aux filter (read = O(filter
+        # bytes), already delta-topped-up in the resume block); a full
+        # build from the seen store is the fallback (O(M) scan).
         if cfg.use_bloom and bloom_shards is None:
-            bloom_shards = seenmod.build_bloom_shards(
-                seen_df, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits_per_shard
-            ).localCheckpoint(eager=True)
+            if resumed_bloom is not None:
+                bloom_shards = resumed_bloom
+                resumed_bloom = None
+            else:
+                bloom_shards = seenmod.build_bloom_shards(
+                    seen_df, n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits_per_shard
+                ).localCheckpoint(eager=True)
         seen_gate, prune_col = seen_df, None
         if cfg.use_bloom and cfg.prune_seen_shards:
             # shard ids recomputed map-side each round (cheap xxhash64 over
@@ -396,6 +438,19 @@ def run_crawl(
                     seen_parts[-1], n_shards=cfg.bloom_shards, m_bits=cfg.bloom_bits_per_shard
                 )
                 bloom_shards = seenmod.merge_shards(bloom_shards, delta).localCheckpoint(eager=True)
+                if cfg.persist_bloom_every and round_no % cfg.persist_bloom_every == 0:
+                    # aux write AFTER the manifest publish: the merged
+                    # filter covers exactly seen rounds <= round_no (the
+                    # invariant resume relies on); a crash before the aux
+                    # marker lands just costs the next resume a rebuild
+                    timed(
+                        "bloom_persist",
+                        round_no,
+                        lambda: store.write_aux(
+                            round_no, "bloom", bloom_shards,
+                            meta={"n_shards": cfg.bloom_shards, "m_bits": cfg.bloom_bits_per_shard},
+                        ),
+                    )
         else:
             # the three small-state checkpoints (seen delta, frontier,
             # metrics delta) are independent jobs — run them CONCURRENTLY so

@@ -109,3 +109,35 @@ class SnapshotStore:
         d = os.path.join(self.root, "rounds", f"round_{round_no:05d}")
         os.makedirs(d, exist_ok=True)
         return d
+
+    # -- auxiliary artifacts --------------------------------------------------
+    # Derived state (e.g. bloom bitmaps) that ACCELERATES resume but is never
+    # required for it: written AFTER the round's manifest publish with its
+    # own atomic marker, so a crash between the two leaves a resumable round
+    # whose aux is simply absent (the consumer rebuilds from the base tables).
+
+    def write_aux(self, round_no: int, name: str, df: DataFrame, meta: dict) -> None:
+        """Write an aux table + publish its marker (write-then-publish)."""
+        snap_dir = self._round_dir(round_no)
+        path = os.path.join(snap_dir, f"aux_{name}")
+        df.write.mode("overwrite").parquet(path)
+        marker = {"round": round_no, "name": name, **meta}
+        tmp = os.path.join(snap_dir, f"aux_{name}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(marker, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(snap_dir, f"aux_{name}.json"))
+
+    def read_aux(self, round_no: int, name: str, expect_meta: dict | None = None) -> DataFrame | None:
+        """The aux table, or None when absent / marker missing / any
+        ``expect_meta`` key disagrees with the published marker (a config
+        change invalidates derived state — the caller must rebuild)."""
+        snap_dir = os.path.join(self.root, "rounds", f"round_{round_no:05d}")
+        mpath = os.path.join(snap_dir, f"aux_{name}.json")
+        if not os.path.exists(mpath):
+            return None
+        with open(mpath) as fh:
+            marker = json.load(fh)
+        for k, v in (expect_meta or {}).items():
+            if marker.get(k) != v:
+                return None
+        return self.spark.read.parquet(os.path.join(snap_dir, f"aux_{name}"))

@@ -145,3 +145,98 @@ def test_stream_contamination_stop_shingles_match_batch_cap(spark, tmp_path):
     assert set(got) == {(6, 1)}
     # eval doc: 16 tokens -> 9 distinct shingles; 1 shared -> 111 permille
     assert got[(6, 1)] == (1, 9, 111)
+
+
+# --- bloom persistence across resume (the 10^10 lever named by the 384M
+# crossover plateau analysis in SCALE.md: resume loads the persisted
+# bitmaps in O(filter bytes) instead of rebuilding from the O(M) store) ---
+
+
+def _bloom_cfg(**kw):
+    from frontier_engine.frontier import CrawlConfig
+
+    base = dict(round_seconds=9.0, use_bloom=True, bloom_shards=8,
+                bloom_bits_per_shard=1 << 14, n_partitions=8)
+    base.update(kw)
+    return CrawlConfig(**base)
+
+
+def test_write_read_aux_roundtrip_and_meta_invalidation(spark, tmp_path):
+    from frontier_engine.storage import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path))
+    df = spark.createDataFrame([(0, 2, b"\x01\x02")], "shard_id int, n_keys long, bitmap binary")
+    store.write_aux(3, "bloom", df, meta={"n_shards": 8, "m_bits": 16384})
+    got = store.read_aux(3, "bloom", expect_meta={"n_shards": 8, "m_bits": 16384})
+    assert got is not None and got.collect()[0]["bitmap"] == b"\x01\x02"
+    # any disagreeing meta key invalidates (config change => rebuild)
+    assert store.read_aux(3, "bloom", expect_meta={"n_shards": 8, "m_bits": 999}) is None
+    assert store.read_aux(3, "bloom", expect_meta={"n_shards": 16, "m_bits": 16384}) is None
+    assert store.read_aux(2, "bloom") is None  # absent round
+
+
+def test_bloom_persisted_resume_parity_and_no_false_negatives(spark, corpus, tmp_path):
+    """Phase 1 commits rounds with the aux filter; resume must (a) finish
+    with the same seen set / page order as an uninterrupted bloom run, and
+    (b) the persisted+topped filter must contain EVERY stored key — a
+    false negative would silently re-fetch (or worse, the prune path would
+    misclassify seen URLs as unseen)."""
+    from frontier_engine import seen as seenmod, synth
+    from frontier_engine.frontier import run_crawl
+    from frontier_engine.storage import SnapshotStore
+
+    seeds = synth.parse_seed_lines(synth.gen_seed_lines(300, 60))
+    full = run_crawl(spark, corpus, seeds, _bloom_cfg(max_rounds=100))
+
+    root = str(tmp_path)
+    part = run_crawl(spark, corpus, seeds, _bloom_cfg(max_rounds=2, checkpoint_dir=root))
+    assert part.rounds == 2
+    store = SnapshotStore(spark, root)
+    last = store.latest_round()
+    aux = store.read_aux(last, "bloom", expect_meta={"n_shards": 8, "m_bits": 1 << 14})
+    assert aux is not None, "merged bitmaps must be persisted with the round"
+    # no-FN invariant on the persisted artifact itself: every key committed
+    # through round `last` probes positive
+    seen_so_far = store.read(0, "seen")
+    for r in range(1, last + 1):
+        seen_so_far = seen_so_far.unionByName(store.read(r, "seen"))
+    probed = seenmod.bloom_maybe_seen(seen_so_far.select("url_key"), aux, n_shards=8)
+    assert probed.filter(~probed.maybe_seen).count() == 0
+
+    resumed = run_crawl(spark, corpus, seeds, _bloom_cfg(max_rounds=100, checkpoint_dir=root))
+    key = lambda df: {r.url_key for r in df.select("url_key").collect()}
+    assert key(resumed.seen) == key(full.seen)
+    assert resumed.pages.count() == full.pages.count()
+
+
+def test_bloom_aux_stale_topup_and_absent_fallback(spark, corpus, tmp_path):
+    """An aux OLDER than the latest round must be delta-topped-up (never
+    trusted as-is — missing rounds would be false negatives), and a store
+    with NO usable aux must fall back to the full rebuild; both paths end
+    bit-identical to the uninterrupted run."""
+    import os
+    import shutil
+
+    from frontier_engine import synth
+    from frontier_engine.frontier import run_crawl
+
+    seeds = synth.parse_seed_lines(synth.gen_seed_lines(300, 60))
+    full = run_crawl(spark, corpus, seeds, _bloom_cfg(max_rounds=100))
+    key = lambda df: {r.url_key for r in df.select("url_key").collect()}
+
+    for drop in ("latest", "all"):
+        root = str(tmp_path / drop)
+        run_crawl(spark, corpus, seeds, _bloom_cfg(max_rounds=2, checkpoint_dir=root))
+        rounds_dir = os.path.join(root, "rounds")
+        targets = sorted(os.listdir(rounds_dir)) if drop == "all" else [sorted(os.listdir(rounds_dir))[-1]]
+        removed = 0
+        for rname in targets:
+            mpath = os.path.join(rounds_dir, rname, "aux_bloom.json")
+            if os.path.exists(mpath):
+                os.remove(mpath)
+                shutil.rmtree(os.path.join(rounds_dir, rname, "aux_bloom"), ignore_errors=True)
+                removed += 1
+        assert removed >= 1
+        resumed = run_crawl(spark, corpus, seeds, _bloom_cfg(max_rounds=100, checkpoint_dir=root))
+        assert key(resumed.seen) == key(full.seen), drop
+        assert resumed.pages.count() == full.pages.count(), drop
