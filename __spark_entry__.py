@@ -683,6 +683,41 @@ def q_span_dedup(spark, sf):
     return textops.span_dedup(_t(spark, sf, "documents"))
 
 
+_BM25_TERMS = ["customer", "spark", "vector", "window"]
+
+
+def q_bm25_topk(spark, sf):
+    """Okapi BM25 top-20 retrieval for a fixed 4-term query over the
+    corpus — lexical topic slicing for curation/eval-set construction.
+    Integer output (score ×10⁶); the per-doc float sum is an ordered fold
+    by term, mirrored by the oracle's list_sum (ORDER BY term)."""
+    return textops.bm25_topk(_t(spark, sf, "documents"), _BM25_TERMS, k=20)
+
+
+def q_pagerank(spark, sf):
+    """Fixed-5-iteration PageRank over a deterministic synthetic link
+    graph (each doc links to the three docs at h60(doc_id#k) % N —
+    doc_ids are contiguous 0..N−1 in every testdata sf, so the modulus
+    lands on real nodes and guarantees outdeg ≥ 1: no dangling mass).
+    The crawl-frontier prioritization signal; ordered in-flow fold makes
+    the ×10⁹ integer ranks hash-identical to the DuckDB twin."""
+    d = _t(spark, sf, "documents")
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    textops._h60(F.concat_ws("#", F.col("doc_id"), F.lit(kk))) % n
+                    for kk in (1, 2, 3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    nodes = d.select(F.col("doc_id").alias("node"))
+    return textops.pagerank_fixed(nodes, edges).withColumnRenamed("node", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -709,11 +744,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dup_ngram_coverage": q_dup_ngram_coverage,
         "unigram_surprisal": q_unigram_surprisal,
+        # --- r6-new ops: must be inside the sweep window for a first
+        # driver row ---
+        "bm25_topk": q_bm25_topk,
+        "pagerank": q_pagerank,
         # --- stable, driver-green surface ---
         "pricing_summary": q_pricing_summary,
         "filter_equals": q_filter_equals,
-        "filter_contains": q_filter_contains,
-        "filter_range": q_filter_range,
         "sort_topn": q_sort_topn,
         "dedup_keep_first": q_dedup_keep_first,
         "union_distinct": q_union_distinct,
@@ -757,14 +794,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         # --- positions 51+: OUTSIDE the driver's 50-entry sweep window.
         # ann_cosine_lsh / ann_cosine_ivf are oracle-less by design (recall
-        # contracts in RECALL.json + tests/test_ann.py); the three scalar
-        # queries below each have green driver rows in CORRECTNESS_r02
-        # through r05 (regex_extract/content_hash/humanize_size) ---
+        # contracts in RECALL.json + tests/test_ann.py); the scalar/filter
+        # queries below each have green driver rows in EVERY sweep
+        # CORRECTNESS_r01-r05 (filter_contains, filter_range) or r02-r05
+        # (regex_extract/content_hash/humanize_size) ---
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
         "regex_extract": q_regex_extract,
         "content_hash": q_content_hash,
         "humanize_size": q_humanize_size,
+        "filter_contains": q_filter_contains,
+        "filter_range": q_filter_range,
     }
 
 
@@ -827,6 +867,42 @@ _BANDS_CTE = (
     "   md5(array_to_string(list_sort(list(minhash::varchar)), ',')) AS band_hash"
     "   FROM sig GROUP BY doc_id, (salt_id // 2))"
 )
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """DuckDB twin of q_pagerank: the same derived edge list (h60 of
+    'doc_id#k' mod N, k∈{1,2,3}, distinct) and ``iters`` unrolled damped
+    power steps.  Float-parity rules: every literal is cast to double
+    INDIVIDUALLY (DuckDB DECIMAL would fold 1−0.85 exactly where IEEE
+    rounds), and each node's in-flow is list_sum over a src-ORDERED list,
+    matching Spark's ordered left fold — bit-identical by induction."""
+    h = _H60.format(x="doc_id::varchar || '#' || kk")
+    parts = [
+        " t AS (SELECT doc_id FROM documents)",
+        " nn AS (SELECT count(*)::bigint AS n FROM t)",
+        " e0 AS (SELECT doc_id AS src, " + h + " % nn.n AS dst"
+        "   FROM t CROSS JOIN nn CROSS JOIN (VALUES ('1'),('2'),('3')) ks(kk))",
+        " e AS (SELECT DISTINCT src, dst FROM e0)",
+        " od AS (SELECT src, count(*)::bigint AS outdeg FROM e GROUP BY src)",
+        " r0 AS (SELECT doc_id AS node, 1.0::double / nn.n AS r FROM t CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts += [
+            f" c{i} AS (SELECT e.dst AS node, e.src AS src, (r{p}.r / od.outdeg) AS c"
+            f"   FROM e JOIN od USING (src) JOIN r{p} ON r{p}.node = e.src)",
+            f" s{i} AS (SELECT node, list_sum(list(c ORDER BY src)) AS s"
+            f"   FROM c{i} GROUP BY node)",
+            f" r{i} AS (SELECT t.doc_id AS node,"
+            f"   ((1 - 0.85::double) / nn.n + 0.85::double * coalesce(s{i}.s, 0)) AS r"
+            f"   FROM t CROSS JOIN nn LEFT JOIN s{i} ON s{i}.node = t.doc_id)",
+        ]
+    return (
+        "WITH" + ",".join(parts)
+        + f" SELECT r{iters}.node AS doc_id, coalesce(od.outdeg, 0)::bigint AS outdeg,"
+        f" round(r{iters}.r * 1000000000)::bigint AS rank_e9"
+        f" FROM r{iters} LEFT JOIN od ON od.src = r{iters}.node"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1291,6 +1367,34 @@ def oracle_sql() -> dict[str, str]:
             " coalesce(round(ts / n_tokens * 10000), 0)::bigint AS surprisal_e4"
             " FROM documents d LEFT JOIN agg USING (doc_id)"
         ),
+        "bm25_topk": (
+            # every float literal cast to double individually and the
+            # expression tree mirrored paren-for-paren (never pre-fold:
+            # DuckDB DECIMAL would compute 1.2+1 exactly, IEEE rounds);
+            # the per-doc sum is list_sum over a term-ORDERED list = the
+            # proven ordered-left-fold pairing
+            "WITH t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
+            " stats AS (SELECT count(*)::bigint AS n,"
+            "   sum(len(list_filter(toks, x -> x <> '')))::bigint AS tt FROM t),"
+            " tok AS (SELECT doc_id, unnest(toks) AS term FROM t),"
+            " tok2 AS (SELECT * FROM tok WHERE term <> ''),"
+            " dl AS (SELECT doc_id, count(*)::bigint AS dl FROM tok2 GROUP BY doc_id),"
+            " tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM tok2"
+            "   WHERE term IN ('customer','spark','vector','window') GROUP BY 1, 2),"
+            " df AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY term),"
+            " scored AS (SELECT tf.doc_id, tf.term,"
+            "   ln((stats.n::double - df.df + 0.5::double) / (df.df + 0.5::double)"
+            "      + 1.0::double)"
+            "   * (tf.tf * (1.2::double + 1.0::double))"
+            "   / (tf.tf + 1.2::double * (1.0::double - 0.75::double"
+            "       + 0.75::double * dl.dl / (stats.tt::double / stats.n))) AS s"
+            "   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),"
+            " agg AS (SELECT doc_id, count(*)::bigint AS n_terms,"
+            "   list_sum(list(s ORDER BY term)) AS score FROM scored GROUP BY doc_id)"
+            "SELECT doc_id, n_terms, round(score * 1000000)::bigint AS score_e6"
+            " FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20"
+        ),
+        "pagerank": _pagerank_sql(5),
         "decontaminate": (
             # the contamination CTE chain with the final SELECT swapped:
             # flag train docs at containment >= 500, emit the survivors

@@ -50,6 +50,8 @@ HEADLINE = [
     "unigram_surprisal",
     "dedup_keep_best",
     "span_dedup",
+    "bm25_topk",
+    "pagerank",
     "ann_cosine_topk",
     "ann_cosine_lsh",
     "ann_cosine_ivf",

@@ -1649,3 +1649,182 @@ def unigram_surprisal(docs: DataFrame, max_broadcast_terms: int = 8_000_000) -> 
             ).alias("surprisal_e4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval scoring / link-graph centrality
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` retrieval for one term-set query — the standard
+    lexical ranking primitive a corpus pipeline needs for targeted slicing
+    (pull the documents most "about" a topic for curation, eval-set
+    construction, or contrastive sampling).  Uses the Robertson idf with
+    the Lucene +1 floor: ``ln((N − df + 0.5)/(df + 0.5) + 1)``, so scores
+    stay positive even for terms in more than half the corpus.
+
+    Cross-engine float contract: tf/df/dl/N are exact integers in both
+    engines; avgdl is one IEEE division of two exact integers; per-term
+    scores are scalar double expressions mirrored operation-for-operation
+    in the oracle (literals are cast individually — never pre-folded,
+    because DuckDB's DECIMAL literal arithmetic would fold ``1.2 + 1``
+    exactly while IEEE rounds); the per-document sum over matched terms is
+    an ORDERED left fold by term (the list_sum pairing proven in
+    dedup_embedding_cosine / unigram_surprisal).  The emitted score is an
+    integer (×10⁶), so value hashing never touches float formatting.
+
+    Scale shape: the explode filters to the query terms map-side (a
+    codegen'd IN over a literal set — the scan never shuffles unmatched
+    terms); tf is a partial-aggregatable groupBy over only matched rows;
+    df is |query|-sized and BROADCAST back; dl joins tf on doc_id — the
+    same key as the final per-doc fold, so the two stages share one
+    shuffle; the global top-k is orderBy+limit, which Spark executes as
+    TakeOrderedAndProject (per-partition heaps, no full sort).  One eager
+    job computes the (N, total_tokens) scalars — one corpus scan.
+
+    Output: (doc_id, n_terms, score_e6) for the top-``k`` docs by score
+    (tiebreak doc_id asc); only docs matching ≥1 query term appear.
+    """
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.filter(tokens_col(F.col("text")), lambda t: t != ""))).alias("tt"),
+    ).first()
+    n_docs = int(stats["n"])
+    avgdl = float(int(stats["tt"] or 0)) / float(n_docs)
+    terms = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        terms.filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            (
+                idf
+                * (F.col("tf") * (F.lit(k1) + F.lit(1.0)))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                )
+            ).alias("s"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", "s"))), lambda x: x["s"]
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("score"),
+    )
+    return (
+        agg.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id",
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.round(F.col("score") * F.lit(1000000.0)).cast("long").alias("score_e6"),
+        )
+    )
+
+
+def pagerank_fixed(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    parity_fold: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an explicit edge list — THE crawl-
+    frontier prioritization signal (Page et al. 1999; every production
+    crawler orders its frontier by some centrality over the link graph
+    this engine's extract_links stage emits).  Deterministic by
+    construction: fixed ``iters`` power steps, no convergence heuristics,
+    uniform 1/N initialization, damped teleport ``(1−d)/N + d·Σ in-flow``.
+    Nodes without in-links settle at the teleport floor; nodes without
+    out-links leak their mass (the standard dangling-drop simplification
+    — the registered query's derived graph guarantees outdeg ≥ 1, so no
+    mass is lost there).
+
+    Cross-engine float contract: with ``parity_fold=True`` each node's
+    in-flow is an ORDERED left fold over (src, contrib) structs (src is
+    unique per target after the edge distinct), matching DuckDB's
+    ``list_sum(list(c ORDER BY src))`` — bit-identical doubles by
+    induction over iterations, so the integer ×10⁹ output hashes equal.
+    ``parity_fold=False`` is the production path: a plain partial-
+    aggregatable F.sum (commutative map-side combine, no per-node lists)
+    whose result differs from the fold only in last-ulp summation order.
+
+    Scale shape: the edge list + out-degree frame is localCheckpoint-ed
+    ONCE (CONSTRUCTING this frame runs that job eagerly — same documented
+    contract as contamination_pairs) and re-read by every iteration; each
+    iteration is one join (rank × edges on src) and one groupBy(dst) —
+    both hash-partitioned on node keys, the connected_components recipe.
+    Hub skew: with parity_fold the per-node collect_list is in-degree-
+    sized (fine for bounded in-degree; a 10⁸-in-link hub wants the
+    F.sum path, where AQE skew-split and map-side combine absorb it).
+    Five iterations stay one declarative plan; for high iteration counts
+    checkpoint the rank frame periodically like connected_components.
+
+    Output: (node, outdeg, rank_e9) — integers only; Σ rank ≈ 1e9·1 when
+    every node has out-edges.
+    """
+    n = nodes.count()
+    base = (1.0 - damping) / float(n)
+    e = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).distinct()
+    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    eo = e.join(od, "src").localCheckpoint(eager=True)
+    r = nodes.select("node", F.lit(1.0 / float(n)).alias("r"))
+    for _ in range(iters):
+        contrib = eo.join(r.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), "src", (F.col("r") / F.col("outdeg")).alias("c")
+        )
+        if parity_fold:
+            s = contrib.groupBy("node").agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("src", "c"))),
+                        lambda x: x["c"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("s")
+            )
+        else:
+            s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        r = nodes.join(s, "node", "left").select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("r"),
+        )
+    return (
+        r.join(od.withColumnRenamed("src", "node"), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("outdeg"),
+            F.round(F.col("r") * F.lit(1000000000.0)).cast("long").alias("rank_e9"),
+        )
+    )

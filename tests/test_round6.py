@@ -27,10 +27,13 @@ PAST_CAP_ALLOWED = {
     # artifact) + tests/test_ann.py; a rows-only driver row adds nothing.
     "ann_cosine_lsh": "oracle-less; RECALL.json + pytest recall contract",
     "ann_cosine_ivf": "oracle-less; RECALL.json + pytest recall contract",
-    # trivial scalar queries with green driver rows in EVERY round r1-r5.
+    # trivial scalar/filter queries with green driver rows in EVERY prior
+    # sweep, displaced to make window room for r6's bm25_topk + pagerank.
     "regex_extract": "green CORRECTNESS_r01-r05",
     "content_hash": "green CORRECTNESS_r01-r05",
     "humanize_size": "green CORRECTNESS_r01-r05",
+    "filter_contains": "green CORRECTNESS_r01-r05",
+    "filter_range": "green CORRECTNESS_r01-r05",
 }
 
 
@@ -240,3 +243,123 @@ def test_bloom_aux_stale_topup_and_absent_fallback(spark, corpus, tmp_path):
         resumed = run_crawl(spark, corpus, seeds, _bloom_cfg(max_rounds=100, checkpoint_dir=root))
         assert key(resumed.seen) == key(full.seen), drop
         assert resumed.pages.count() == full.pages.count(), drop
+
+
+# --- r6 new ops: BM25 retrieval + fixed-iteration PageRank ---------------
+
+
+def test_bm25_matches_python_reference_exactly(spark):
+    """The whole cross-engine float contract hangs on mirroring the IEEE
+    expression tree — so mirror it a THIRD way in plain Python (same op
+    order, same ordered fold) and require the ×10⁶ integer scores to
+    match Spark bit-for-bit."""
+    import math
+
+    rows = [
+        (1, "spark joins the table with a hash join"),
+        (2, "vector vector vector scan"),
+        (3, "the customer orders a part"),
+        (4, "window window spark"),
+        (5, ""),
+        (6, "nothing relevant here at all"),
+    ]
+    q = ["customer", "spark", "vector", "window"]
+    out = {
+        r["doc_id"]: (r["n_terms"], r["score_e6"])
+        for r in textops.bm25_topk(_docs(spark, rows), q, k=10).collect()
+    }
+
+    toks = {d: [t for t in " ".join(t.lower().split()).split(" ") if t] for d, t in rows}
+    n = float(len(rows))
+    avgdl = float(sum(len(v) for v in toks.values())) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in q}
+    exp = {}
+    for d, v in toks.items():
+        dl = len(v)
+        matched = sorted(t for t in q if t in v)
+        if not matched:
+            continue
+        s = 0.0
+        for t in matched:
+            tf = v.count(t)
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        exp[d] = (len(matched), int(round(s * 1000000.0)))
+    assert out == exp
+    # sanity on the ranking intent: the all-query-term doc outranks the
+    # single-hot-term docs
+    assert max(exp, key=lambda d: exp[d][1]) in out
+
+
+def test_bm25_topk_truncates_and_orders(spark):
+    rows = [(i, "spark " * (i + 1)) for i in range(8)]
+    got = textops.bm25_topk(_docs(spark, [(d, t.strip()) for d, t in rows]), ["spark"], k=3)
+    rws = got.collect()
+    assert len(rws) == 3
+    scores = [r["score_e6"] for r in rws]
+    assert scores == sorted(scores, reverse=True)
+
+
+def _pagerank_python(nodes, edges, iters=5, d=0.85):
+    """Reference power iteration with the SAME ordered fold (src asc)."""
+    n = float(len(nodes))
+    e = sorted(set(edges))
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        inc = {}
+        for s, t in e:  # sorted by (src, dst): per-target contribs ordered by src
+            inc.setdefault(t, []).append((s, r[s] / outdeg[s]))
+        nr = {}
+        for v in nodes:
+            acc = 0.0
+            for _, c in sorted(inc.get(v, [])):
+                acc += c
+            nr[v] = (1.0 - d) / n + d * acc
+        r = nr
+    return {v: (outdeg.get(v, 0), int(round(r[v] * 1e9))) for v in nodes}
+
+
+def test_pagerank_matches_python_reference_exactly(spark):
+    nodes = list(range(7))
+    # hub 0 is cited by everyone; 5-6 form a cycle; 3 is a sink-ish node
+    edges = [(1, 0), (2, 0), (3, 0), (4, 0), (5, 0), (6, 0),
+             (5, 6), (6, 5), (1, 2), (2, 3), (3, 4), (4, 1), (0, 3)]
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["outdeg"], r["rank_e9"])
+           for r in textops.pagerank_fixed(ndf, edf).collect()}
+    exp = _pagerank_python(nodes, edges)
+    assert got == exp
+    # the hub collects the most mass; total mass conserved (outdeg >= 1
+    # everywhere): sum of ranks == 1e9 within rounding slack
+    assert max(got, key=lambda v: got[v][1]) == 0
+    assert abs(sum(v[1] for v in got.values()) - 1_000_000_000) <= len(nodes)
+
+
+def test_pagerank_production_sum_path_agrees(spark):
+    """parity_fold=False (partial-aggregatable F.sum — the 100 TB path)
+    may differ from the ordered fold only by last-ulp summation order:
+    ±1 in the ×10⁹ integer output."""
+    nodes = list(range(40))
+    edges = [(u, (u * u + kk) % 40) for u in nodes for kk in (1, 2, 3)]
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["node"]: r["rank_e9"]
+         for r in textops.pagerank_fixed(ndf, edf, parity_fold=True).collect()}
+    b = {r["node"]: r["rank_e9"]
+         for r in textops.pagerank_fixed(ndf, edf, parity_fold=False).collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[v] - b[v]) <= 1 for v in a)
+
+
+def test_pagerank_no_inlinks_gets_teleport_floor(spark):
+    nodes = [0, 1, 2]
+    edges = [(0, 1), (1, 0), (2, 1)]  # nobody links to 2
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_e9"]
+           for r in textops.pagerank_fixed(ndf, edf, iters=3).collect()}
+    assert got[2] == int(round((1.0 - 0.85) / 3.0 * 1e9))

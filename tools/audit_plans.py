@@ -54,6 +54,10 @@ AUDIT = {
     "dup_ngram_coverage": {"pushed": False, "broadcast": False},
     "unigram_surprisal": {"pushed": False, "broadcast": True},
     "span_dedup": {"pushed": False, "broadcast": False},
+    # bm25: |query|-sized df side is broadcast-hinted; global top-k must be
+    # TakeOrderedAndProject (per-partition heaps), never a full sort
+    "bm25_topk": {"pushed": False, "broadcast": True, "take_ordered": True},
+    "pagerank": {"pushed": False, "broadcast": False},
     # not a queries() entry (needs an index path + query vectors); injected
     # in main() — the check that matters is the literal cluster_id IN
     # partition filter pruning index files at the listing
@@ -100,6 +104,8 @@ def audit_one(spark, name, fn, sf, expect):
         checks["broadcast_join"] = "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     if expect.get("window_limit"):
         checks["window_group_limit"] = "WindowGroupLimit" in plan
+    if expect.get("take_ordered"):
+        checks["take_ordered"] = "TakeOrderedAndProject" in plan
     if expect.get("partition_filters"):
         after = plan.split("PartitionFilters: [", 1)
         checks["partition_filters"] = len(after) == 2 and "cluster_id" in after[1][:300]
