@@ -718,6 +718,27 @@ def q_pagerank(spark, sf):
     return textops.pagerank_fixed(nodes, edges).withColumnRenamed("node", "doc_id")
 
 
+def q_sample_weighted(spark, sf):
+    """Deterministic token-weighted sample-without-replacement (top-200
+    Efraimidis–Spirakis keys, hash-derived uniforms) — the mixture-
+    construction primitive.  Map-only key projection + TakeOrderedAndProject
+    top-k; the ln/÷ float tree is mirrored literal-for-literal in the
+    oracle, output is integer ×10¹²."""
+    return textops.sample_weighted(_t(spark, sf, "documents"), k=200)
+
+
+def q_cardinality_sketch(spark, sf):
+    """Distinct users per event type via mergeable HLL sketches
+    (hll_sketch_agg): map-side 2^12-register sketches, KB-sized shuffle,
+    associative merge.  Oracle-less by design — DuckDB's
+    approx_count_distinct is a different HLL implementation; the contract
+    is the pytest error-bound (vs exact countDistinct) + merge-identity
+    (sharded-union == one-pass) tests."""
+    return textops.cardinality_sketch(
+        _t(spark, sf, "events"), ["event_type"], "user_id"
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -748,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver row ---
         "bm25_topk": q_bm25_topk,
         "pagerank": q_pagerank,
+        "sample_weighted": q_sample_weighted,
         # --- stable, driver-green surface ---
         "pricing_summary": q_pricing_summary,
         "filter_equals": q_filter_equals,
@@ -769,7 +791,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_export": q_flatten_export,
         "size_cap": q_size_cap,
         "pipeline_ops": q_pipeline_ops,
-        "clean_text": q_clean_text,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
@@ -793,18 +814,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "contamination": q_contamination,
         # --- positions 51+: OUTSIDE the driver's 50-entry sweep window.
-        # ann_cosine_lsh / ann_cosine_ivf are oracle-less by design (recall
-        # contracts in RECALL.json + tests/test_ann.py); the scalar/filter
-        # queries below each have green driver rows in EVERY sweep
-        # CORRECTNESS_r01-r05 (filter_contains, filter_range) or r02-r05
-        # (regex_extract/content_hash/humanize_size) ---
+        # ann_cosine_lsh / ann_cosine_ivf / cardinality_sketch are
+        # oracle-less by design (recall contracts in RECALL.json +
+        # tests/test_ann.py; HLL error-bound + merge-identity pytest); the
+        # scalar/filter queries below each have green driver rows in EVERY
+        # sweep CORRECTNESS_r01-r05 (clean_text, filter_contains,
+        # filter_range) or r02-r05 (regex_extract/content_hash/
+        # humanize_size) ---
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
+        "cardinality_sketch": q_cardinality_sketch,
         "regex_extract": q_regex_extract,
         "content_hash": q_content_hash,
         "humanize_size": q_humanize_size,
         "filter_contains": q_filter_contains,
         "filter_range": q_filter_range,
+        "clean_text": q_clean_text,
     }
 
 
@@ -1395,6 +1420,23 @@ def oracle_sql() -> dict[str, str]:
             " FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20"
         ),
         "pagerank": _pagerank_sql(5),
+        "sample_weighted": (
+            # Efraimidis-Spirakis key = ln(u)/w, u hash-derived; the ln/
+            # divide tree mirrors Spark literal-for-literal (each literal
+            # cast to double individually — DECIMAL folding rule), h60 is
+            # the module-wide md5 parity hash, and its double cast rounds
+            # identically in both engines
+            "WITH t AS (SELECT doc_id,"
+            "   greatest(len(list_filter(" + _TOKS + ", x -> x <> '')), 1)::bigint AS w"
+            "   FROM documents),"
+            " k AS (SELECT doc_id, w,"
+            "   ln((" + _H60.format(x="'ws1#' || doc_id::varchar")
+            + "::double + 0.5::double) / 1152921504606846976.0::double)"
+            "   / w::double AS key FROM t)"
+            "SELECT doc_id, w AS n_tokens,"
+            " round(key * 1000000000000)::bigint AS key_e12"
+            " FROM k ORDER BY key DESC, doc_id ASC LIMIT 200"
+        ),
         "decontaminate": (
             # the contamination CTE chain with the final SELECT swapped:
             # flag train docs at containment >= 500, emit the survivors

@@ -52,6 +52,8 @@ HEADLINE = [
     "span_dedup",
     "bm25_topk",
     "pagerank",
+    "sample_weighted",
+    "cardinality_sketch",
     "ann_cosine_topk",
     "ann_cosine_lsh",
     "ann_cosine_ivf",

@@ -1828,3 +1828,129 @@ def pagerank_fixed(
             F.round(F.col("r") * F.lit(1000000000.0)).cast("long").alias("rank_e9"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling / mergeable distinct sketches
+# ---------------------------------------------------------------------------
+
+
+def sample_weighted(docs: DataFrame, k: int = 200, salt: str = "ws1") -> DataFrame:
+    """Deterministic weight-proportional sample-without-replacement of
+    ``k`` documents, weight = whitespace token count — the mixture-
+    construction primitive (pick a token-budget-proportional subset of a
+    source for a training blend, reproducibly, in one pass).
+
+    Method: Efraimidis–Spirakis A-ES (Inf. Process. Lett. 97(5), 2006) —
+    each row gets key ``ln(u)/w`` with u ~ U(0,1) and the k LARGEST keys
+    win; inclusion probability is proportional to weight, without
+    replacement, and the selection is a single top-k.  Determinism: u is
+    hash-derived, ``u = (h60(md5(salt#doc_id)) + 0.5) / 2^60`` — the same
+    md5→60-bit integer used everywhere in this module (module docstring),
+    so reruns and both engines draw identical uniforms.
+
+    Cross-engine float contract: h60 is an exact integer in both engines;
+    its cast to double rounds identically (IEEE round-to-nearest); the
+    ln/÷ tree is mirrored operation-for-operation with every literal cast
+    individually (DuckDB DECIMAL folding rule, see bm25_topk); ln parity
+    Java↔DuckDB is the empirically proven pairing from unigram_surprisal/
+    bm25.  Emitted score is integer ×10¹² (key ∈ [−41.6, 0), so it fits a
+    long with room).
+
+    Scale shape: the key is a map-only projection over the scan (no
+    shuffle, no UDF); the global top-k is orderBy+limit which Spark runs
+    as TakeOrderedAndProject — per-partition k-row heaps, a k-row driver
+    merge, nothing else moves.  This survives any corpus size for which
+    k rows fit on the driver.
+
+    Output: (doc_id, n_tokens, key_e12), the k sampled docs, largest key
+    first (doc_id asc tiebreak).  Zero-token docs weigh 1 (greatest(w,1))
+    so empty rows stay sampleable rather than dividing by zero.
+    """
+    w = F.greatest(
+        F.size(F.filter(tokens_col(F.col("text")), lambda t: t != "")), F.lit(1)
+    )
+    u = (
+        _h60(F.concat_ws("#", F.lit(salt), F.col("doc_id"))).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**60))
+    key = F.log(u) / w.cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            w.cast("long").alias("n_tokens"),
+            key.alias("key"),
+        )
+        .orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("key") * F.lit(1000000000000.0)).cast("long").alias("key_e12"),
+        )
+    )
+
+
+def cardinality_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-group approximate distinct count via mergeable HLL sketches
+    (Apache DataSketches HllSketch under Spark's ``hll_sketch_agg``) —
+    THE 100 TB distinct-counting primitive: "distinct URLs per host" /
+    "distinct users per event type" without ever shuffling the raw
+    values.  Each executor builds a 2^lg_k-register sketch map-side, the
+    shuffle moves only the KB-sized sketch bytes per group, and sketches
+    merge associatively — so per-partition / per-day partial sketches can
+    be stored and unioned later (``merge_cardinality_sketches``) with NO
+    loss vs sketching the raw stream in one pass.  Relative error
+    ≈ 1.04/√2^lg_k (~1.6% at the default lg_k=12).
+
+    Oracle-less by design: the estimate is algorithm-specific (DuckDB's
+    approx_count_distinct is a different HLL implementation) — the
+    contract is the pytest error-bound vs exact countDistinct plus the
+    exact merge-identity test (union of shard sketches == one-pass
+    sketch, bit-equal estimates).
+
+    Output: (group_cols..., approx_distinct long, n_rows long).
+    """
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(value_col), F.lit(lg_k))
+        ).cast("long").alias("approx_distinct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def partial_cardinality_sketches(
+    df: DataFrame, group_cols: list[str], value_col: str, shard_col, lg_k: int = 12
+) -> DataFrame:
+    """Per-(group, shard) partial HLL sketch BYTES — the storable half of
+    the two-phase pattern: persist these per ingest batch / partition /
+    day, then roll up any subset with merge_cardinality_sketches.  The
+    sketch column is opaque binary; only its size (KB) crosses stages."""
+    return (
+        df.withColumn("__shard", shard_col)
+        .groupBy(*group_cols, "__shard")
+        .agg(F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch"))
+    )
+
+
+def merge_cardinality_sketches(partials: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union per-shard partial sketches back to one estimate per group.
+    HLL register-wise max is associative + commutative, so this is a
+    partial-aggregatable groupBy over KB-sized binary values: the rollup
+    of a year of daily sketches touches no raw data.
+
+    Estimator caveat (DataSketches semantics): dense-register merging is
+    a lossless max, but small partials arrive in coupon (LIST/SET) mode
+    and replay through the union with stream-order-dependent HIP state —
+    so the merged estimate can differ from the one-pass estimate AND
+    between different shardings of the same rows, always by a fraction of
+    the error bound.  The guaranteed contract is the bound itself
+    (~1.04/sqrt(2^lg_k)) on every path, not estimate equality; the pytest
+    asserts exactly that."""
+    return partials.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).cast("long").alias(
+            "approx_distinct"
+        )
+    )

@@ -27,6 +27,9 @@ PAST_CAP_ALLOWED = {
     # artifact) + tests/test_ann.py; a rows-only driver row adds nothing.
     "ann_cosine_lsh": "oracle-less; RECALL.json + pytest recall contract",
     "ann_cosine_ivf": "oracle-less; RECALL.json + pytest recall contract",
+    # sketch estimates are implementation-specific (DataSketches HLL vs
+    # DuckDB's HLL) — contract = pytest error-bound + merge-identity.
+    "cardinality_sketch": "oracle-less; pytest HLL error-bound + merge tests",
     # trivial scalar/filter queries with green driver rows in EVERY prior
     # sweep, displaced to make window room for r6's bm25_topk + pagerank.
     "regex_extract": "green CORRECTNESS_r01-r05",
@@ -34,6 +37,7 @@ PAST_CAP_ALLOWED = {
     "humanize_size": "green CORRECTNESS_r01-r05",
     "filter_contains": "green CORRECTNESS_r01-r05",
     "filter_range": "green CORRECTNESS_r01-r05",
+    "clean_text": "green CORRECTNESS_r01-r05",
 }
 
 
@@ -363,3 +367,104 @@ def test_pagerank_no_inlinks_gets_teleport_floor(spark):
     got = {r["node"]: r["rank_e9"]
            for r in textops.pagerank_fixed(ndf, edf, iters=3).collect()}
     assert got[2] == int(round((1.0 - 0.85) / 3.0 * 1e9))
+
+
+# --- r6 new ops: weighted sampling + HLL cardinality sketches ------------
+
+
+def _es_key(doc_id, w, salt="ws1"):
+    """The Efraimidis-Spirakis key with the SAME op order as both engines."""
+    import hashlib, math
+
+    h = int(hashlib.md5(f"{salt}#{doc_id}".encode()).hexdigest()[:15], 16)
+    return math.log((float(h) + 0.5) / float(2**60)) / float(max(w, 1))
+
+
+def test_sample_weighted_matches_python_reference_exactly(spark):
+    rows = [
+        (1, "a b c d e"),
+        (2, "x " * 50),
+        (3, ""),          # zero tokens -> weight 1, still sampleable
+        (4, "one two"),
+        (5, "w " * 200),
+        (6, "q r s"),
+    ]
+    got = [
+        (r["doc_id"], r["n_tokens"], r["key_e12"])
+        for r in textops.sample_weighted(
+            _docs(spark, [(d, t.strip()) for d, t in rows]), k=4
+        ).collect()
+    ]
+    toks = {d: [t for t in t_.lower().strip().split() if t] for d, t_ in rows}
+    keyed = sorted(
+        ((d, max(len(v), 1), _es_key(d, len(v))) for d, v in toks.items()),
+        key=lambda x: (-x[2], x[0]),
+    )[:4]
+    exp = [(d, w, int(round(k * 1e12))) for d, w, k in keyed]
+    assert got == exp
+    # the output arrives largest-key-first
+    assert [g[2] for g in got] == sorted((g[2] for g in got), reverse=True)
+
+
+def test_sample_weighted_prefers_heavy_docs(spark):
+    """k=1 draws across 12 salts: the 100x-weight doc must win most draws
+    (inclusion probability ~= 100/111; the draw is deterministic per salt,
+    so this is a fixed assertion, not a flaky statistical one)."""
+    rows = [(0, "heavy " * 100)] + [(i, "light") for i in range(1, 12)]
+    d = _docs(spark, [(i, t.strip()) for i, t in rows])
+    wins = sum(
+        textops.sample_weighted(d, k=1, salt=f"s{j}").collect()[0]["doc_id"] == 0
+        for j in range(12)
+    )
+    assert wins >= 8
+
+
+def test_cardinality_sketch_error_bound(spark):
+    """lg_k=12 HLL has rsd ~1.6%; assert every group lands within 5% of
+    the exact distinct count."""
+    rows = [
+        (g, v % n)
+        for g, n in (("a", 500), ("b", 1500), ("c", 4000))
+        for v in range(2 * n)
+    ]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    got = {
+        r["grp"]: (r["approx_distinct"], r["n_rows"])
+        for r in textops.cardinality_sketch(df, ["grp"], "val").collect()
+    }
+    for grp, n in (("a", 500), ("b", 1500), ("c", 4000)):
+        approx, n_rows = got[grp]
+        assert n_rows == 2 * n
+        assert abs(approx - n) / n <= 0.05, (grp, approx, n)
+
+
+def test_cardinality_sketch_merge_identity(spark):
+    """Register merging is lossless and sharding-independent: ANY shard
+    partitioning of the same rows must union to the identical estimate
+    (the property that lets per-day partials replace raw-data rescans).
+    The merged estimate uses the composite estimator while the one-pass
+    sketch uses HIP, so vs one-pass we assert the shared error bound, not
+    equality (see merge_cardinality_sketches docstring)."""
+    rows = [("g", (v * 7919) % 3000) for v in range(9000)]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    one_pass = {
+        r["grp"]: r["approx_distinct"]
+        for r in textops.cardinality_sketch(df, ["grp"], "val").collect()
+    }
+    merged_by = {}
+    for nshards in (8, 5):
+        partials = textops.partial_cardinality_sketches(
+            df, ["grp"], "val", F.col("val") % nshards
+        )
+        assert partials.count() == nshards
+        merged_by[nshards] = {
+            r["grp"]: r["approx_distinct"]
+            for r in textops.merge_cardinality_sketches(partials, ["grp"]).collect()
+        }
+    # coupon-mode partials replay through the union with stream-order-
+    # dependent HIP state, so even two shardings of the same rows can
+    # estimate differently — the stable contract is the error bound on
+    # every path (see merge_cardinality_sketches docstring)
+    assert abs(merged_by[8]["g"] - 3000) / 3000 <= 0.05
+    assert abs(merged_by[5]["g"] - 3000) / 3000 <= 0.05
+    assert abs(one_pass["g"] - 3000) / 3000 <= 0.05

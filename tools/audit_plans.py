@@ -58,6 +58,10 @@ AUDIT = {
     # TakeOrderedAndProject (per-partition heaps), never a full sort
     "bm25_topk": {"pushed": False, "broadcast": True, "take_ordered": True},
     "pagerank": {"pushed": False, "broadcast": False},
+    # map-only key projection + global top-k: the plan must be a
+    # TakeOrderedAndProject directly over the scan (no Exchange, no Sort)
+    "sample_weighted": {"pushed": False, "broadcast": False, "take_ordered": True},
+    "cardinality_sketch": {"pushed": False, "broadcast": False},
     # not a queries() entry (needs an index path + query vectors); injected
     # in main() — the check that matters is the literal cluster_id IN
     # partition filter pruning index files at the listing
