@@ -230,7 +230,7 @@ def main():
         sdocs.withColumn(
             "ts",
             F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, doc_id % 3600)"),
-        ).write.parquet(sdocs_dir)
+        ).withColumn("grp", F.col("doc_id") % 8).write.parquet(sdocs_dir)
         s_schema = spark.read.parquet(sdocs_dir).schema
         eval_static = sdocs.filter(F.col("doc_id") % 5 == 4).select("doc_id", "text")
         builders = {
@@ -241,6 +241,13 @@ def main():
             "stream_contamination": lambda: (
                 streamingmod.stream_contamination(spark, sdocs_dir, s_schema, eval_static),
                 "complete"),
+            # windowed HLL distinct over the same synthetic-ts docs table
+            # (group = doc_id%8 stand-in, value = doc_id): state = one KB
+            # sketch per open window x group
+            "stream_cardinality": lambda: (
+                streamingmod.stream_cardinality(
+                    spark, sdocs_dir, s_schema, group_col="grp", value_col="doc_id",
+                ), "append"),
         }
         for sname, build in builders.items():
             sdf, mode = build()

@@ -268,6 +268,45 @@ def stream_contamination(
     )
 
 
+def stream_cardinality(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Windowed approximate-distinct on a stream — the streaming twin of
+    textops.cardinality_sketch: distinct ``value_col`` per (event-time
+    window, ``group_col``) via mergeable HLL sketches.  The state store
+    holds one 2^lg_k-register sketch per open (window, group) — KB-sized,
+    bounded by windows-in-watermark × groups, NEVER by distinct values —
+    which is exactly why sketches and not exact count-distinct are the
+    streaming-side primitive (exact distinct state grows with cardinality
+    and streaming ``countDistinct`` is unsupported in append mode).
+
+    Estimator note: for counts far below 2^lg_k the sketch sits in coupon
+    mode and the estimate is exact; above it the batch error bound
+    (~1.04/sqrt(2^lg_k)) applies.  Merge order across triggers shifts HIP
+    state (see merge_cardinality_sketches), so stream-vs-batch agreement
+    is the error bound, not bit equality.
+    """
+    ev = spark.readStream.schema(schema).parquet(events_dir)
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), group_col)
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)))
+            .cast("long")
+            .alias("approx_distinct")
+        )
+        .select(F.col("w.start").alias("window_start"), group_col, "approx_distinct")
+    )
+
+
 def stream_text_signals(spark: SparkSession, docs_dir: str, schema) -> DataFrame:
     """Text-quality + PII signals over a document STREAM.
 

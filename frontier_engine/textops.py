@@ -1783,8 +1783,11 @@ def pagerank_fixed(
     iteration is one join (rank × edges on src) and one groupBy(dst) —
     both hash-partitioned on node keys, the connected_components recipe.
     Hub skew: with parity_fold the per-node collect_list is in-degree-
-    sized (fine for bounded in-degree; a 10⁸-in-link hub wants the
-    F.sum path, where AQE skew-split and map-side combine absorb it).
+    sized.  Measured (SCALE.md round-6): at a 4.8M-in-link hub the fold
+    still matches the sum path on wall-clock — the production argument
+    for F.sum is MEMORY, not speed: the fold materializes the hub's
+    whole in-link list inside one task (multi-GB at 10⁸ in-links, an
+    OOM), while sum state is one double per node at every stage.
     Five iterations stay one declarative plan; for high iteration counts
     checkpoint the rank frame periodically like connected_components.
 

@@ -223,3 +223,28 @@ def test_stream_contamination_matches_batch(spark, tmp_path):
     }
     assert got == batch and (0, 1) in got and (4, 1) in got
     assert all(e != 3 for (_, e) in got)
+
+
+def test_stream_cardinality_matches_exact_within_bound(spark, events_dir, tmp_path):
+    """Streaming HLL distinct per (hour, event_type): every window the
+    watermark closed must estimate the batch-exact countDistinct within
+    the lg_k=12 bound (these windows are far below 2^12 distinct, where
+    the sketch sits in coupon mode — expect exact agreement, assert 3%)."""
+    ev_schema = spark.read.parquet(events_dir).schema
+    sdf = streaming.stream_cardinality(spark, events_dir, ev_schema)
+    streaming.run_to_memory(sdf, "card_s", str(tmp_path / "ck"), output_mode="append")
+    got = {
+        (r.window_start, r.event_type): r.approx_distinct
+        for r in spark.table("card_s").collect()
+    }
+    want = {
+        (r.hour, r.event_type): r.n
+        for r in spark.read.parquet(events_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got
+    for k, approx in got.items():
+        exact = want[k]
+        assert abs(approx - exact) <= max(1, int(0.03 * exact)), (k, approx, exact)
