@@ -122,6 +122,35 @@ def seeds_to_frontier(spark: SparkSession, seed_urls) -> DataFrame:
     )
 
 
+def with_priority(frontier: DataFrame, scores: DataFrame, default: float = 1.0) -> DataFrame:
+    """Override the frontier's ordering ``score`` from a priority table —
+    the standard crawl-ordering lever (Cho/Garcia-Molina/Page 1998:
+    PageRank-ordered crawling reaches important pages sooner than BFS).
+    Feed it ``textops.pagerank_fixed`` over the link graph the crawl's own
+    extract_links stage emits (host-level in practice: rank hosts, join on
+    host) and every politeness slot goes to the highest-centrality
+    candidates first — ``rank_and_quota`` already orders within host by
+    (score desc, seed_index, url_key), so priority composes with, never
+    overrides, the politeness budget.
+
+    ``scores``: (url_key, score) or (host, score) — keyed per-URL or
+    per-host, auto-detected.  Broadcast-joined: after the per-host
+    collapse a web-scale rank table is millions of rows (MBs), not
+    corpus-sized; candidates never shuffle.  Missing keys keep
+    ``default`` = the seed score, so a partial rank table degrades to
+    seed order, and with no scores at all the crawl is byte-identical to
+    the reference-parity order (P8 tests pin that).
+    """
+    key = "url_key" if "url_key" in scores.columns else "host"
+    pr = scores.select(key, F.col("score").alias("__prio"))
+    return (
+        frontier.join(F.broadcast(pr), key, "left")
+        .withColumn("score", F.coalesce(F.col("__prio"), F.lit(float(default))))
+        .drop("__prio")
+        .select(*FRONTIER_COLS)
+    )
+
+
 @dataclass
 class CrawlResult:
     pages: DataFrame
@@ -140,10 +169,15 @@ def run_crawl(
     host_policy: DataFrame | None = None,
     resume_store: SnapshotStore | None = None,
     fetcher=None,
+    seed_scores: DataFrame | None = None,
 ) -> CrawlResult:
     """``fetcher(candidates, pages_corpus) -> DataFrame`` selects the fetch
     engine (pipeline.get_fetcher's uniform interface); default is the
-    pages-table join (sandbox/test engine)."""
+    pages-table join (sandbox/test engine).
+
+    ``seed_scores``: optional priority table for with_priority (url_key- or
+    host-keyed) applied to the seed frontier — fresh starts only; a resumed
+    frontier already carries its scores in the snapshot."""
     cfg = config or CrawlConfig()
     fetch = fetcher or fetch_via_pages_table
     store = resume_store or (SnapshotStore(spark, cfg.checkpoint_dir) if cfg.checkpoint_dir else None)
@@ -212,7 +246,10 @@ def run_crawl(
         # actions per round — without this every action re-runs the seed
         # ingest (createDataFrame + canonicalize UDF + dedup window)
         t0 = time.perf_counter()
-        frontier = seeds_to_frontier(spark, seed_urls).localCheckpoint(eager=True)
+        frontier = seeds_to_frontier(spark, seed_urls)
+        if seed_scores is not None:
+            frontier = with_priority(frontier, seed_scores)
+        frontier = frontier.localCheckpoint(eager=True)
         seed_ingest_sec = round(time.perf_counter() - t0, 3)
 
     def seen_view() -> DataFrame:

@@ -468,3 +468,45 @@ def test_cardinality_sketch_merge_identity(spark):
     assert abs(merged_by[8]["g"] - 3000) / 3000 <= 0.05
     assert abs(merged_by[5]["g"] - 3000) / 3000 <= 0.05
     assert abs(one_pass["g"] - 3000) / 3000 <= 0.05
+
+
+# --- r6: priority-ordered frontier (with_priority / seed_scores) ---------
+
+
+def test_priority_crawl_reorders_within_politeness_budget(spark):
+    """PageRank-style frontier prioritization: with a url-keyed score
+    table and a 1-fetch-per-host-per-round quota, the crawl must spend
+    its early rounds on the high-score URLs and fall back to seed order
+    for unscored ones — and with NO score table the order must stay
+    byte-identical to the reference-parity crawl (P8)."""
+    from frontier_engine.canonicalize import surt_key_udf
+    from frontier_engine.frontier import CrawlConfig, fetch_order, run_crawl
+    from frontier_engine.schema import PAGES
+
+    urls = [f"http://prio.example.com/p{i}" for i in range(6)]
+    corpus = spark.createDataFrame(
+        [(u, None, f"<html><body>doc {u}</body></html>".encode(), None, None) for u in urls],
+        schema=PAGES,
+    )
+    cfg = CrawlConfig(max_rounds=20, max_per_host_per_round=1)
+    scores = (
+        spark.createDataFrame(
+            [(urls[3], 100.0), (urls[5], 50.0)], "url string, score double"
+        )
+        .withColumn("url_key", surt_key_udf("url"))
+        .select("url_key", "score")
+    )
+    res = run_crawl(spark, corpus, urls, cfg, seed_scores=scores)
+    got = [r["url"] for r in fetch_order(res.pages).collect()]
+    # scored urls first (score desc), then the rest in seed order
+    assert got == [urls[3], urls[5], urls[0], urls[1], urls[2], urls[4]]
+
+    base = run_crawl(spark, corpus, urls, cfg)
+    base_order = [r["url"] for r in fetch_order(base.pages).collect()]
+    assert base_order == urls  # reference-parity seed order without scores
+
+    # a host-keyed table is accepted too (uniform per-host boost: order
+    # within the host falls back to seed order = parity)
+    hscores = spark.createDataFrame([("prio.example.com", 9.0)], "host string, score double")
+    hres = run_crawl(spark, corpus, urls, cfg, seed_scores=hscores)
+    assert [r["url"] for r in fetch_order(hres.pages).collect()] == urls
