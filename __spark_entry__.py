@@ -739,6 +739,64 @@ def q_cardinality_sketch(spark, sf):
     ).orderBy("event_type")
 
 
+def q_host_quality_filter(spark, sf):
+    """Host-level quality gate (RefinedWeb/C4 policy): per-source mean
+    quality via one partial-agg groupBy, broadcast back onto the corpus —
+    the 100 TB doc side is never shuffled.  Gate = integer comparison
+    sum >= bar*count; bar 2870 splits the synthetic hosts ~10/10."""
+    return textops.host_quality_filter(
+        _t(spark, sf, "documents"), min_host_mean_quality=2870, min_docs=2
+    )
+
+
+def q_dedup_incremental(spark, sf):
+    """Daily-ingest dedup: docs with doc_id%5==4 are "today's crawl", the
+    rest the historical index; new docs sharing ANY LSH band key with the
+    index are dropped.  Key-equi semi+anti joins only — never pairwise."""
+    d = _t(spark, sf, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 4)
+    idx = d.filter(F.col("doc_id") % 5 != 4)
+    return textops.dedup_minhash_incremental(new, idx).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_trap_detection(spark, sf):
+    """Crawler-trap template rollup over a deterministically derived URL
+    table (host=source; ~5/7 article paths, ~2/7 search paths (mod-7 split
+    so the branch is independent of the mod-20 source assignment) — same
+    synthesis-from-documents precedent as pagerank's graph).  is_trap cast
+    to long for driver value-hash stability."""
+    d = _t(spark, sf, "documents")
+    urls = d.select(
+        F.col("source").alias("host"),
+        F.when(
+            F.col("doc_id") % 7 < 5,
+            F.concat(F.lit("/article/"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/search/page/"),
+                F.col("doc_id").cast("string"),
+                F.lit("/x"),
+                (F.col("doc_id") % 3).cast("string"),
+            )
+        )
+        .alias("path"),
+    )
+    out = textops.url_template_stats(urls, trap_threshold=15)
+    return out.select(
+        "host", "template", "n_urls", F.col("is_trap").cast("long").alias("is_trap")
+    )
+
+
+def q_corpus_stats(spark, sf):
+    """Per-language corpus report (count / char volume / exact 2×median /
+    max).  Exact percentile is safe at O(languages) group cardinality;
+    the ×2 keeps the interpolated median integral on both engines."""
+    return textops.corpus_stats(_t(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -770,6 +828,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "pagerank": q_pagerank,
         "sample_weighted": q_sample_weighted,
+        "host_quality_filter": q_host_quality_filter,
+        "dedup_incremental": q_dedup_incremental,
+        "trap_detection": q_trap_detection,
+        "corpus_stats": q_corpus_stats,
         # --- stable, driver-green surface ---
         "pricing_summary": q_pricing_summary,
         "filter_equals": q_filter_equals,
@@ -782,11 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "sessionize": q_sessionize,
         "rollup_revenue": q_rollup_revenue,
-        "except_keys": q_except_keys,
         "intersect_keys": q_intersect_keys,
-        "date_arithmetic": q_date_arithmetic,
-        "hourly_counts": q_hourly_counts,
-        "json_extract": q_json_extract,
         "data_url_source": q_data_url_source,
         "flatten_export": q_flatten_export,
         "size_cap": q_size_cap,
@@ -819,7 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_ann.py; HLL error-bound + merge-identity pytest); the
         # scalar/filter queries below each have green driver rows in EVERY
         # sweep CORRECTNESS_r01-r05 (clean_text, filter_contains,
-        # filter_range) or r02-r05 (regex_extract/content_hash/
+        # filter_range, except_keys, date_arithmetic, hourly_counts,
+        # json_extract) or r02-r05 (regex_extract/content_hash/
         # humanize_size) ---
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
@@ -830,6 +889,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_contains": q_filter_contains,
         "filter_range": q_filter_range,
         "clean_text": q_clean_text,
+        "except_keys": q_except_keys,
+        "date_arithmetic": q_date_arithmetic,
+        "hourly_counts": q_hourly_counts,
+        "json_extract": q_json_extract,
     }
 
 
@@ -1420,6 +1483,56 @@ def oracle_sql() -> dict[str, str]:
             " FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20"
         ),
         "pagerank": _pagerank_sql(5),
+        "host_quality_filter": (
+            # per-doc quality (same expression tree as quality_score) ->
+            # per-source integer rollup -> integer gate sum >= bar*count
+            "WITH t AS (SELECT doc_id, source, text, " + _TOKS + " AS toks FROM documents),"
+            " f AS (SELECT doc_id, source,"
+            "   len(toks) AS n_tokens,"
+            "   round(len(list_filter(toks, x -> x IN " + _EN_STOP + "))::double / greatest(len(toks), 1), 4) AS stopword_ratio,"
+            "   round(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double / greatest(len(text), 1), 4) AS alpha_ratio"
+            "   FROM t),"
+            " q AS (SELECT doc_id, source,"
+            "   ((least(n_tokens, 100) * 40 + round(stopword_ratio * 10000)::bigint * 3"
+            "     + round(alpha_ratio * 10000)::bigint * 3) // 10)::bigint AS quality_permille FROM f),"
+            " s AS (SELECT source, count(*)::bigint AS host_docs, sum(quality_permille)::bigint AS host_quality_sum,"
+            "   floor(sum(quality_permille)::double / count(*))::bigint AS host_mean_quality"
+            "   FROM q GROUP BY source),"
+            " good AS (SELECT source, host_docs, host_mean_quality FROM s"
+            "   WHERE host_docs >= 2 AND host_quality_sum >= 2870 * host_docs)"
+            "SELECT q.doc_id, q.source, q.quality_permille, good.host_docs, good.host_mean_quality "
+            "FROM q JOIN good USING (source)"
+        ),
+        "dedup_incremental": (
+            # band keys are per-doc, so computing them over the FULL corpus
+            # then splitting equals computing them per side; new docs whose
+            # any band key appears on the index side are dropped
+            "WITH" + _SIG_CTES + "," + _BANDS_CTE + ","
+            " newb AS (SELECT * FROM bands WHERE doc_id % 5 = 4),"
+            " idxb AS (SELECT DISTINCT band_id, band_hash FROM bands WHERE doc_id % 5 <> 4),"
+            " hit AS (SELECT DISTINCT newb.doc_id FROM newb JOIN idxb USING (band_id, band_hash))"
+            "SELECT doc_id, lang, source, n_chars FROM documents"
+            " WHERE doc_id % 5 = 4 AND doc_id NOT IN (SELECT doc_id FROM hit)"
+        ),
+        "trap_detection": (
+            "WITH u AS (SELECT source AS host,"
+            "   CASE WHEN doc_id % 7 < 5 THEN '/article/' || doc_id::varchar"
+            "        ELSE '/search/page/' || doc_id::varchar || '/x' || (doc_id % 3)::varchar END AS path"
+            "   FROM documents),"
+            " t AS (SELECT host,"
+            "   regexp_replace(regexp_replace(path, '[0-9a-f]{8,}', 'X', 'g'), '[0-9]+', 'N', 'g') AS template FROM u)"
+            "SELECT host, template, count(*)::bigint AS n_urls,"
+            " (CASE WHEN count(*) >= 15 THEN 1 ELSE 0 END)::bigint AS is_trap "
+            "FROM t GROUP BY host, template"
+        ),
+        "corpus_stats": (
+            # 2*median of integers is an exact integer under linear
+            # interpolation on both engines (k or k+0.5 doubled)
+            "SELECT lang, count(*)::bigint AS n_docs, sum(n_chars)::bigint AS sum_chars,"
+            " round(quantile_cont(n_chars, 0.5) * 2)::bigint AS median2_chars,"
+            " max(n_chars)::bigint AS max_chars "
+            "FROM documents GROUP BY lang"
+        ),
         "sample_weighted": (
             # Efraimidis-Spirakis key = ln(u)/w, u hash-derived; the ln/
             # divide tree mirrors Spark literal-for-literal (each literal

@@ -168,6 +168,21 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3) -
     ).select("doc_id", F.col("salt_id").cast("int"), "minhash")
 
 
+def lsh_band_keys(
+    docs: DataFrame, n_hashes: int = 8, band_size: int = 2, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH band keys — the shared candidate
+    key for batch pair-mining (dedup_minhash_lsh) and incremental
+    new-vs-index dedup (dedup_minhash_incremental).  Per-doc computation:
+    band keys over a corpus equal band keys over any subset of it."""
+    sig = minhash_signatures(docs, n_hashes, shingle_n)
+    return (
+        sig.withColumn("band_id", (F.col("salt_id") / band_size).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.col("minhash").cast("string"))))).alias("band_hash"))
+    )
+
+
 def dedup_minhash_lsh(
     docs: DataFrame, n_hashes: int = 8, band_size: int = 2, shingle_n: int = 3
 ) -> DataFrame:
@@ -179,12 +194,7 @@ def dedup_minhash_lsh(
     controlled noise), never the full corpus.  AQE skew-join splits a
     pathological bucket.  Output: (doc_a, doc_b) with doc_a < doc_b.
     """
-    sig = minhash_signatures(docs, n_hashes, shingle_n)
-    bands = (
-        sig.withColumn("band_id", (F.col("salt_id") / band_size).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.col("minhash").cast("string"))))).alias("band_hash"))
-    )
+    bands = lsh_band_keys(docs, n_hashes, band_size, shingle_n)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -1956,4 +1966,130 @@ def merge_cardinality_sketches(partials: DataFrame, group_cols: list[str]) -> Da
         F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).cast("long").alias(
             "approx_distinct"
         )
+    )
+
+
+def host_quality_stats(docs: DataFrame) -> DataFrame:
+    """Per-source (per-host) quality rollup: document count + integer
+    quality_permille sum + floor-mean.  One partial-aggregatable groupBy —
+    at 100 TB this produces one row per host (millions of rows, MBs),
+    combining map-side before the shuffle ever sees a document body.
+
+    The mean is ``floor(sum/count)``: sums and counts of longs are exact,
+    and IEEE division of exactly-representable integers is correctly
+    rounded, so the floor cannot straddle a cross-engine boundary."""
+    q = docs.select("source", *quality_columns())
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("host_docs"),
+        F.sum("quality_permille").alias("host_quality_sum"),
+        F.floor(F.sum("quality_permille") / F.count(F.lit(1))).cast("long").alias("host_mean_quality"),
+    )
+
+
+def host_quality_filter(
+    docs: DataFrame, min_host_mean_quality: int = 500, min_docs: int = 1
+) -> DataFrame:
+    """Host-level quality gate (RefinedWeb / C4 policy: judge the HOST, not
+    just the page — spam farms produce individually-plausible pages).
+    Keeps documents whose source's mean quality clears the bar, carrying
+    the host stats on each surviving row.
+
+    The gate is pure integer math — ``sum(quality) >= bar * count`` — so
+    no float mean can land on a rounding boundary between engines.
+
+    Scale: the stats frame (one row per host) is BROADCAST back onto the
+    corpus, so the 100 TB document side is never shuffled; the only
+    shuffle is the MB-scale stats aggregation itself."""
+    stats = host_quality_stats(docs)
+    good = stats.filter(
+        (F.col("host_docs") >= F.lit(min_docs))
+        & (F.col("host_quality_sum") >= F.lit(min_host_mean_quality) * F.col("host_docs"))
+    ).select("source", "host_docs", "host_mean_quality")
+    q = docs.select("doc_id", "source", *quality_columns())
+    return q.join(F.broadcast(good), "source").select(
+        "doc_id", "source", "quality_permille", "host_docs", "host_mean_quality"
+    )
+
+
+def dedup_minhash_incremental(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup dedup: drop NEW documents that LSH-band-collide
+    with ANY document already in the INDEX corpus — the daily-ingest shape
+    (today's crawl vs the historical index), where re-running pairwise
+    dedup over the full 100 TB corpus per day is off the table.
+
+    Scale: the index contributes only its DISTINCT (band_id, band_hash)
+    keys — at 100 TB that key set lives as a bucketed store exactly like
+    the URL-seen shards (seen.py:235; persist ``lsh_band_keys(index)``
+    bucketed by band_hash and this becomes a shuffle-free semi-join); here
+    it is computed inline.  The new side is the small delta.  Both joins
+    are key-equi (semi then anti) — no pair explosion on either side, and
+    a boilerplate band shared by millions of index docs collapses to ONE
+    key row via the distinct's partial aggregation.
+
+    Returns surviving new_docs rows (all columns)."""
+    newb = lsh_band_keys(new_docs, n_hashes, band_size, shingle_n)
+    idxb = (
+        lsh_band_keys(index_docs, n_hashes, band_size, shingle_n)
+        .select("band_id", "band_hash")
+        .distinct()
+    )
+    hit = (
+        newb.join(idxb, ["band_id", "band_hash"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return new_docs.join(hit, "doc_id", "left_anti")
+
+
+def url_template_stats(urls: DataFrame, trap_threshold: int = 100) -> DataFrame:
+    """Crawler-trap detection: collapse each URL's path to a TEMPLATE
+    (long hex runs → 'X' first, then digit runs → 'N') and roll up per (host,
+    template).  A template whose URL count explodes past ``trap_threshold``
+    is an infinite-space generator (calendar pages, session ids, faceted
+    search) — the classic frontier black hole; its n_urls >> n_hosts'
+    other templates.
+
+    Input: frame with (host string, path string).  Output: (host,
+    template, n_urls, is_trap) — one partial-aggregatable groupBy, one
+    row per (host, template): KBs per host at any corpus scale.  Compose
+    with the crawl loop by anti-joining flagged (host, template) pairs
+    against candidate frontiers, or by feeding ``-n_urls`` into
+    run_crawl(seed_scores=...) to deprioritize instead of dropping."""
+    # hex runs collapse FIRST: a mixed id like 'deadbeef1234' must become
+    # one X, not alternating letter/N fragments
+    tmpl = F.regexp_replace(
+        F.regexp_replace(F.col("path"), F.lit(r"[0-9a-f]{8,}"), F.lit("X")),
+        F.lit(r"[0-9]+"),
+        F.lit("N"),
+    )
+    return (
+        urls.select("host", tmpl.alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .withColumn("is_trap", (F.col("n_urls") >= F.lit(trap_threshold)).cast("boolean"))
+    )
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """Per-language corpus report: doc count, char volume, exact length
+    median (×2: the interpolated median of integers is k or k+0.5, so
+    2·median is an exact integer on both engines), and max length.
+
+    Scale: Spark's exact ``percentile`` holds per-group value buffers —
+    fine for a per-LANGUAGE rollup (tens of groups, each buffer bounded
+    by group size after the map-side count collapse... NOT fine keyed by
+    host).  For high-cardinality keys swap in approx_percentile or a
+    t-digest; this op's contract is the exact report shape used by corpus
+    cards (group count is O(languages))."""
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)") * 2).cast("long").alias("median2_chars"),
+        F.max("n_chars").alias("max_chars"),
     )

@@ -38,6 +38,12 @@ PAST_CAP_ALLOWED = {
     "filter_contains": "green CORRECTNESS_r01-r05",
     "filter_range": "green CORRECTNESS_r01-r05",
     "clean_text": "green CORRECTNESS_r01-r05",
+    # displaced to make window room for r6's host_quality_filter /
+    # dedup_incremental / trap_detection / corpus_stats.
+    "except_keys": "green CORRECTNESS_r01-r05",
+    "date_arithmetic": "green CORRECTNESS_r01-r05",
+    "hourly_counts": "green CORRECTNESS_r01-r05",
+    "json_extract": "green CORRECTNESS_r01-r05",
 }
 
 

@@ -1,0 +1,125 @@
+"""Round-6 session-4 ops: host-level quality gating, incremental minhash
+dedup, crawler-trap template detection, per-language corpus report."""
+
+from __future__ import annotations
+
+import pytest
+
+from frontier_engine import textops
+from pyspark.sql import functions as F
+
+
+GOOD = "the cat and the dog are on the mat with a hat and this is fine text"
+BAD = "!!!! ### ~~~ 123 456 789 👾👾"  # zero alpha chars, zero stopwords
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_host_quality_filter_drops_bad_host(spark):
+    d = _docs(
+        spark,
+        [(1, "good.com", GOOD), (2, "good.com", GOOD + " more words here"),
+         (3, "spam.biz", BAD), (4, "spam.biz", BAD + " qq")],
+    )
+    out = textops.host_quality_filter(d, min_host_mean_quality=500, min_docs=2)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].host_docs == 2
+    # the host mean carried on each row is floor(sum/count) of the same
+    # integers quality_score emits
+    q = {r.doc_id: r.quality_permille for r in textops.quality_score(
+        d.select("doc_id", "text")).collect()}
+    assert rows[1].host_mean_quality == (q[1] + q[2]) // 2
+
+
+def test_host_quality_filter_min_docs_gate(spark):
+    # a single-doc host cannot clear min_docs=2 no matter its quality
+    d = _docs(spark, [(1, "solo.org", GOOD), (2, "pair.org", GOOD), (3, "pair.org", GOOD)])
+    out = textops.host_quality_filter(d, min_host_mean_quality=0, min_docs=2)
+    assert {r.doc_id for r in out.collect()} == {2, 3}
+
+
+def test_host_quality_filter_broadcasts_stats(spark):
+    """The per-host stats side must carry an explicit broadcast hint — the
+    corpus side is the 100 TB frame and must never shuffle for this join."""
+    d = _docs(spark, [(1, "a", GOOD), (2, "a", GOOD)])
+    out = textops.host_quality_filter(d)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in analyzed, analyzed
+
+
+_NEAR_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+_NEAR_A2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+_UNREL = "completely different content about spark catalyst optimizer plans"
+
+
+def _plain(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_incremental_drops_only_index_collisions(spark):
+    index = _plain(spark, [(1, _NEAR_A), (2, "some other indexed document body")])
+    new = _plain(
+        spark,
+        [
+            (10, _NEAR_A2),   # near-dup of index doc 1 -> dropped
+            (11, _UNREL),     # novel -> survives
+            (12, "twin twin twin one two three four five six seven"),
+            (13, "twin twin twin one two three four five six seven"),
+            # 12/13 duplicate EACH OTHER but nothing in the index: the
+            # incremental contract checks only vs the index, so both
+            # survive (intra-batch dedup is dedup_minhash_lsh's job)
+        ],
+    )
+    out = textops.dedup_minhash_incremental(new, index)
+    assert {r.doc_id for r in out.collect()} == {11, 12, 13}
+
+
+def test_dedup_incremental_matches_subset_of_batch_lsh(spark):
+    """A new doc is dropped iff batch LSH over index+new pairs it with an
+    INDEX doc — incremental == batch restricted to cross pairs."""
+    index = _plain(spark, [(i, f"indexed document number {i} with shared filler words") for i in range(5)])
+    new = _plain(spark, [(100, "indexed document number 3 with shared filler words"),
+                         (101, _UNREL)])
+    pairs = textops.dedup_minhash_lsh(index.union(new)).collect()
+    cross_hit = {max(r.doc_a, r.doc_b) for r in pairs if min(r.doc_a, r.doc_b) < 100 <= max(r.doc_a, r.doc_b)}
+    out = {r.doc_id for r in textops.dedup_minhash_incremental(new, index).collect()}
+    assert out == {100, 101} - cross_hit
+    assert 100 not in out  # the planted exact copy must be caught
+
+
+def test_url_template_stats_collapses_and_flags(spark):
+    urls = spark.createDataFrame(
+        [("h1", f"/cal/2024/{i}/{i % 28}") for i in range(10)]
+        + [("h1", "/about"), ("h2", "/u/deadbeefcafe1234/profile")],
+        "host string, path string",
+    )
+    out = {(r.host, r.template): r for r in textops.url_template_stats(urls, trap_threshold=10).collect()}
+    assert out[("h1", "/cal/N/N/N")].n_urls == 10
+    assert out[("h1", "/cal/N/N/N")].is_trap is True  # >= threshold is a trap
+    assert out[("h1", "/about")].is_trap is False
+    assert ("h2", "/u/X/profile") in out  # long hex run -> X
+
+
+def test_corpus_stats_exact_medians(spark):
+    d = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 20), (3, "en", 30), (4, "en", 41),
+         (5, "fr", 7), (6, "fr", 8), (7, "fr", 100)],
+        "doc_id long, lang string, n_chars long",
+    )
+    out = {r.lang: r for r in textops.corpus_stats(d).collect()}
+    # en: even count, interpolated median (20+30)/2 = 25 -> 50
+    assert out["en"].median2_chars == 50 and out["en"].n_docs == 4
+    assert out["en"].sum_chars == 101 and out["en"].max_chars == 41
+    # fr: odd count, median 8 -> 16
+    assert out["fr"].median2_chars == 16 and out["fr"].max_chars == 100
+
+
+def test_host_quality_stats_partial_agg_shape(spark):
+    """The rollup must be a plain hash aggregate (partial-aggregatable) —
+    no window, no sort: a hot host collapses map-side."""
+    d = _docs(spark, [(i, f"h{i % 3}", GOOD) for i in range(12)])
+    plan = textops.host_quality_stats(d)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, plan
