@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from frontier_engine import sinks, textops  # noqa: E402
+from frontier_engine import sinks, textops, warc  # noqa: E402
 from frontier_engine.functions import humanize_size_col  # noqa: E402
 from frontier_engine.multimodal import parse_data_urls, size_cap_filter  # noqa: E402
 from frontier_engine.pipeline import run_post_processing  # noqa: E402
@@ -797,6 +797,88 @@ def q_corpus_stats(spark, sf):
     return textops.corpus_stats(_t(spark, sf, "documents"))
 
 
+def q_warc_roundtrip(spark, sf):
+    """WARC source round-trip: pack documents into per-source gzipped
+    WARC/1.0 blobs (one applyInPandas build per source, records sorted by
+    doc_id, plus a warcinfo header record), re-parse them through the
+    distributed warc reader (mapInPandas, gzip sniff), and report the
+    response records — identity vs the documents table proves the writer,
+    the parser, and the non-response filter in one oracle.  The payload
+    column dies at the first projection (md5 + declared length only)."""
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+
+    def build(key, pdf):
+        import gzip
+
+        import pandas as pd
+
+        from frontier_engine import warc as w
+
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            {
+                "warc_type": "warcinfo",
+                "record_id": f"<urn:warcinfo:{key[0]}>",
+                "warc_date": "2024-01-01T00:00:00Z",
+                "content_type": "application/warc-fields",
+                "payload": b"software: frontier_engine\r\n",
+            }
+        ]
+        for r in pdf.itertuples():
+            recs.append(
+                {
+                    "warc_type": "response",
+                    "record_id": f"<urn:doc:{r.doc_id}>",
+                    "warc_date": "2024-01-01T00:00:00Z",
+                    "target_uri": f"http://{r.source}.example/doc/{r.doc_id}",
+                    "content_type": "text/plain",
+                    "payload": r.text.encode("utf-8"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "warc_file": [f"{key[0]}.warc.gz"],
+                "warc_bytes": [gzip.compress(w.build_warc(recs))],
+            }
+        )
+
+    blobs = d.groupBy("source").applyInPandas(
+        build, "warc_file string, warc_bytes binary"
+    )
+    recs = warc.parse_warc_frame(blobs)
+    return recs.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("record_id", r"urn:doc:(\d+)", 1).cast("long").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("content_length").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("text_md5"),
+    )
+
+
+def q_anchor_rollup(spark, sf):
+    """Anchor-text rollup over the same deterministic derived link graph
+    as pagerank (dst = h60(doc_id#k) % N, k∈{1,2,3}), anchor = 24-char
+    slice of the SOURCE doc at offset k.  Per-target in-link counts,
+    distinct sources/anchors, and the lexicographic-min representative
+    anchor — all partial-aggregatable."""
+    d = _t(spark, sf, "documents")
+    n = d.count()
+    pairs = F.array(
+        *[
+            F.struct(
+                (textops._h60(F.concat_ws("#", F.col("doc_id"), F.lit(kk))) % n).alias(
+                    "dst"
+                ),
+                F.substring(F.col("text"), kk, 24).alias("anchor"),
+            )
+            for kk in (1, 2, 3)
+        ]
+    )
+    links = d.select(F.col("doc_id").alias("src"), F.explode(pairs).alias("p")).select(
+        "src", "p.dst", "p.anchor"
+    )
+    return textops.anchor_text_rollup(links)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -832,12 +914,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "trap_detection": q_trap_detection,
         "corpus_stats": q_corpus_stats,
+        "warc_roundtrip": q_warc_roundtrip,
+        "anchor_rollup": q_anchor_rollup,
         # --- stable, driver-green surface ---
         "pricing_summary": q_pricing_summary,
-        "filter_equals": q_filter_equals,
         "sort_topn": q_sort_topn,
         "dedup_keep_first": q_dedup_keep_first,
-        "union_distinct": q_union_distinct,
         "anti_join_unseen": q_anti_join_unseen,
         "broadcast_join_rollup": q_broadcast_join_rollup,
         "agg_events_by_type": q_agg_events_by_type,
@@ -878,8 +960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scalar/filter queries below each have green driver rows in EVERY
         # sweep CORRECTNESS_r01-r05 (clean_text, filter_contains,
         # filter_range, except_keys, date_arithmetic, hourly_counts,
-        # json_extract) or r02-r05 (regex_extract/content_hash/
-        # humanize_size) ---
+        # json_extract, filter_equals, union_distinct) or r02-r05
+        # (regex_extract/content_hash/humanize_size) ---
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
         "cardinality_sketch": q_cardinality_sketch,
@@ -893,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_arithmetic": q_date_arithmetic,
         "hourly_counts": q_hourly_counts,
         "json_extract": q_json_extract,
+        "filter_equals": q_filter_equals,
+        "union_distinct": q_union_distinct,
     }
 
 
@@ -1532,6 +1616,32 @@ def oracle_sql() -> dict[str, str]:
             " round(quantile_cont(n_chars, 0.5) * 2)::bigint AS median2_chars,"
             " max(n_chars)::bigint AS max_chars "
             "FROM documents GROUP BY lang"
+        ),
+        "warc_roundtrip": (
+            # the WARC pack/parse round-trip must reproduce the documents
+            # table exactly: declared Content-Length = utf-8 byte length,
+            # payload md5 = text md5
+            "SELECT doc_id,"
+            " 'http://' || source || '.example/doc/' || doc_id::varchar AS url,"
+            " octet_length(encode(text))::bigint AS n_bytes,"
+            " md5(text) AS text_md5 "
+            "FROM documents"
+        ),
+        "anchor_rollup": (
+            # same derived edge list as pagerank's oracle; anchor = 24-char
+            # slice of the source doc at offset k (1-based substr on both
+            # engines); min() compares UTF-8 bytes on both engines
+            "WITH t AS (SELECT doc_id, text FROM documents),"
+            " nn AS (SELECT count(*)::bigint AS n FROM t),"
+            " l AS (SELECT doc_id AS src, "
+            + _H60.format(x="doc_id::varchar || '#' || kk::varchar")
+            + " % nn.n AS dst, substr(text, kk, 24) AS anchor"
+            "   FROM t CROSS JOIN nn CROSS JOIN (VALUES (1),(2),(3)) ks(kk))"
+            "SELECT dst, count(*)::bigint AS n_anchors,"
+            " count(DISTINCT src)::bigint AS n_srcs,"
+            " count(DISTINCT anchor)::bigint AS n_unique_anchors,"
+            " min(anchor) AS top_anchor "
+            "FROM l GROUP BY dst"
         ),
         "sample_weighted": (
             # Efraimidis-Spirakis key = ln(u)/w, u hash-derived; the ln/

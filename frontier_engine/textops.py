@@ -2093,3 +2093,37 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
         F.round(F.expr("percentile(n_chars, 0.5)") * 2).cast("long").alias("median2_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+def anchor_text_rollup(links: DataFrame, max_anchor_chars: int = 64) -> DataFrame:
+    """Per-target anchor-text aggregation over a link graph — the classic
+    web-corpus signal (anchor text describes the TARGET page better than
+    the page itself; it built the original Google index and the
+    MS MARCO-style query/document training pairs).  Input: ``(src long,
+    dst long, anchor string)`` — exactly what an extract_links stage
+    emits once anchors are kept alongside hrefs.
+
+    Output per dst: in-link count, distinct linking sources, distinct
+    anchor strings, and the lexicographic-min anchor (a deterministic
+    representative; "most common" would need a second agg and a
+    cross-engine tie rule).
+
+    Scale shape: anchors are TRUNCATED to ``max_anchor_chars`` before any
+    aggregation, bounding per-group state; count/min collapse map-side,
+    and the two distincts are Spark's standard two-phase partial-distinct
+    expansion — a 10^9-in-link hub target (every page linking "home")
+    dedups its (dst, src) / (dst, anchor) pairs before the final shuffle,
+    so the hot key arrives pre-collapsed, the span_dedup lesson.  No
+    windows, no collect_list of the in-link set.
+    """
+    a = links.select(
+        F.col("dst").cast("long").alias("dst"),
+        F.col("src").cast("long").alias("src"),
+        F.substring(F.col("anchor"), 1, max_anchor_chars).alias("anchor"),
+    )
+    return a.groupBy("dst").agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.countDistinct("src").alias("n_srcs"),
+        F.countDistinct("anchor").alias("n_unique_anchors"),
+        F.min("anchor").alias("top_anchor"),
+    )

@@ -1,0 +1,214 @@
+"""WARC (Web ARChive, ISO 28500) source — the Common Crawl interchange
+format, i.e. THE substrate a 100 TB webtext pipeline actually ingests.
+
+Reference parity note: the reference scraper fetches live pages
+(src/scraper.py:137-181) and never reads archives; WARC ingest is a
+beyond-reference addition so the engine's extract/dedup/quality stages can
+run over archived crawls instead of (or in addition to) the live frontier.
+
+Format (public spec, ISO 28500 / WARC 1.0):
+
+    WARC/1.0<CRLF>
+    WARC-Type: response<CRLF>
+    WARC-Record-ID: <urn:...><CRLF>
+    WARC-Date: 2024-01-01T00:00:00Z<CRLF>
+    WARC-Target-URI: http://...<CRLF>
+    Content-Type: text/plain<CRLF>
+    Content-Length: N<CRLF>
+    <CRLF>
+    ...N payload bytes...<CRLF><CRLF>
+
+Common Crawl ships ``.warc.gz`` files as CONCATENATED gzip members (one
+member per record) so readers can seek; stdlib ``gzip.decompress``
+transparently decompresses multi-member streams, so :func:`maybe_gunzip`
+needs no member loop.
+
+Scale shape: :func:`read_warc` uses Spark's ``binaryFile`` source — WARC
+is not line-splittable, so the unit of parallelism is the FILE (Common
+Crawl segments are ~1 GB gzipped, ~100k files per crawl: plenty of tasks
+for a 1000-executor cluster, and one file fits comfortably in an executor
+core's memory).  Parsing is an Arrow-batched ``mapInPandas`` — pure
+Python per file blob, never per row of output.  Select away ``payload``
+immediately after the fields you need (length/digest/extracted text) so
+the multi-GB binary column dies at the first projection; ``binaryFile``
+supports ``pathGlobFilter`` and partition-directory pruning for
+crawl-date slicing before any byte is read.
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterable, Iterator
+
+import pandas as pd  # noqa: F401  (module-level for pandas_udf hint resolution)
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CRLF = b"\r\n"
+_VERSION = b"WARC/1.0"
+
+# canonical header casing for the writer; the parser is case-insensitive
+_HDR_ORDER = (
+    ("warc_type", "WARC-Type"),
+    ("record_id", "WARC-Record-ID"),
+    ("warc_date", "WARC-Date"),
+    ("target_uri", "WARC-Target-URI"),
+    ("content_type", "Content-Type"),
+)
+
+RECORD_SCHEMA = (
+    "warc_file string, warc_type string, record_id string, warc_date string,"
+    " target_uri string, content_type string, content_length long, payload binary"
+)
+_RECORD_COLS = [
+    "warc_file",
+    "warc_type",
+    "record_id",
+    "warc_date",
+    "target_uri",
+    "content_type",
+    "content_length",
+    "payload",
+]
+
+
+def build_warc(records: Iterable[dict]) -> bytes:
+    """Serialize records to WARC/1.0 bytes.  Deterministic: no uuid/now()
+    defaults — callers pass ``record_id`` / ``warc_date`` explicitly.
+
+    Each record dict: ``warc_type`` (required), ``payload`` (bytes,
+    default empty), and any of ``record_id`` / ``warc_date`` /
+    ``target_uri`` / ``content_type`` (omitted headers are not written).
+    """
+    out = []
+    for r in records:
+        payload = r.get("payload", b"")
+        if isinstance(payload, str):
+            payload = payload.encode("utf-8")
+        out.append(_VERSION + CRLF)
+        for key, hdr in _HDR_ORDER:
+            v = r.get(key)
+            if v is not None:
+                out.append(hdr.encode("ascii") + b": " + str(v).encode("utf-8") + CRLF)
+        out.append(b"Content-Length: " + str(len(payload)).encode("ascii") + CRLF)
+        out.append(CRLF)
+        out.append(payload)
+        out.append(CRLF + CRLF)
+    return b"".join(out)
+
+
+def maybe_gunzip(data: bytes) -> bytes:
+    """Decompress iff the blob starts with the gzip magic; multi-member
+    streams (the Common Crawl per-record layout) decompress in one call."""
+    if data[:2] == b"\x1f\x8b":
+        return gzip.decompress(data)
+    return data
+
+
+def parse_warc(data: bytes) -> Iterator[dict]:
+    """Parse a (decompressed) WARC blob into record dicts.
+
+    Tolerant in the same spirit as ``htmlx``'s lenient HTML parse: a
+    record with a garbled header block (no parseable Content-Length) is
+    skipped by scanning forward to the next ``WARC/`` magic; a record
+    whose payload is TRUNCATED by EOF is still emitted (content_length
+    reports the DECLARED length, len(payload) the actual bytes) so a
+    partial tail file surfaces as data, not an exception.  Accepts both
+    CRLF and bare-LF line endings.  Duplicate headers: last one wins
+    (documented quirk — mirrors extract_metadata's dup-key overwrite,
+    refsem.py:138).
+    """
+    i, n = 0, len(data)
+    while True:
+        j = data.find(_VERSION[:5], i)  # b"WARC/"
+        if j < 0:
+            return
+        pos = data.find(b"\n", j)
+        if pos < 0:
+            return
+        pos += 1
+        headers: dict[str, str] = {}
+        ok = True
+        while True:
+            eol = data.find(b"\n", pos)
+            if eol < 0:
+                ok = False
+                break
+            line = data[pos:eol].rstrip(b"\r")
+            pos = eol + 1
+            if not line:
+                break
+            k, sep, v = line.partition(b":")
+            if not sep:
+                ok = False  # header block is garbage — resync
+                break
+            headers[k.strip().decode("utf-8", "replace").lower()] = v.strip().decode(
+                "utf-8", "replace"
+            )
+        if not ok:
+            i = j + 5
+            continue
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            i = j + 5
+            continue
+        payload = data[pos : pos + length]
+        yield {
+            "warc_type": headers.get("warc-type"),
+            "record_id": headers.get("warc-record-id"),
+            "warc_date": headers.get("warc-date"),
+            "target_uri": headers.get("warc-target-uri"),
+            "content_type": headers.get("content-type"),
+            "content_length": length,
+            "payload": payload,
+        }
+        if pos + length >= n:
+            return
+        i = pos + length
+
+
+def parse_warc_frame(
+    df: DataFrame, file_col: str = "warc_file", bytes_col: str = "warc_bytes"
+) -> DataFrame:
+    """Explode a frame of ``(file name, WARC blob)`` rows into one row per
+    WARC record (Arrow-batched ``mapInPandas``; gzip sniffed per blob).
+
+    This is the distributed half of the source: ``read_warc`` feeds it
+    from ``binaryFile``, tests feed it synthetic blobs built by
+    ``build_warc``, and a fetch stage could feed it archived responses.
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {c: [] for c in _RECORD_COLS}
+            for fname, blob in zip(pdf[file_col], pdf[bytes_col]):
+                for rec in parse_warc(maybe_gunzip(bytes(blob))):
+                    rows["warc_file"].append(fname)
+                    for c in _RECORD_COLS[1:]:
+                        rows[c].append(rec[c])
+            if rows["warc_file"]:
+                out = pd.DataFrame(rows)
+                out["content_length"] = out["content_length"].astype("int64")
+                yield out
+
+    return df.select(
+        F.col(file_col).alias(file_col), F.col(bytes_col).alias(bytes_col)
+    ).mapInPandas(gen, RECORD_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str, path_glob: str | None = None) -> DataFrame:
+    """Read WARC/WARC.GZ files under ``path`` into a record frame.
+
+    One Spark task per file (WARC is not splittable); ``path_glob``
+    pushes a ``pathGlobFilter`` into the file listing so e.g. a single
+    crawl segment is selected before any byte is read.
+    """
+    reader = spark.read.format("binaryFile")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    bf = reader.load(path)
+    return parse_warc_frame(
+        bf.select(F.col("path").alias("warc_file"), F.col("content").alias("warc_bytes"))
+    )

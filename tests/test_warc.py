@@ -1,0 +1,140 @@
+"""WARC source (frontier_engine/warc.py): pure parser/writer round-trips,
+malformed-input recovery, gzip handling, the binaryFile reader, and the
+anchor_text_rollup operator added alongside it."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from frontier_engine import textops, warc
+from pyspark.sql import functions as F
+
+
+def _recs(n=3):
+    return [
+        {
+            "warc_type": "response",
+            "record_id": f"<urn:doc:{i}>",
+            "warc_date": "2024-01-01T00:00:00Z",
+            "target_uri": f"http://h.example/doc/{i}",
+            "content_type": "text/plain",
+            "payload": f"body {i} with some text".encode(),
+        }
+        for i in range(n)
+    ]
+
+
+def test_build_parse_roundtrip_pure():
+    blob = warc.build_warc(_recs())
+    out = list(warc.parse_warc(blob))
+    assert [r["record_id"] for r in out] == [f"<urn:doc:{i}>" for i in range(3)]
+    assert all(r["warc_type"] == "response" for r in out)
+    assert out[1]["payload"] == b"body 1 with some text"
+    assert out[1]["content_length"] == len(out[1]["payload"])
+    assert out[2]["target_uri"] == "http://h.example/doc/2"
+
+
+def test_parse_payload_containing_warc_magic():
+    """Declared Content-Length must carry the parser OVER a payload that
+    contains the record magic and CRLFs — no resync inside payloads."""
+    evil = b"x\r\n\r\nWARC/1.0\r\nContent-Length: 999\r\n\r\ny"
+    blob = warc.build_warc(
+        [{"warc_type": "response", "payload": evil}, {"warc_type": "metadata", "payload": b"z"}]
+    )
+    out = list(warc.parse_warc(blob))
+    assert len(out) == 2
+    assert out[0]["payload"] == evil
+    assert out[1]["warc_type"] == "metadata"
+
+
+def test_parse_skips_garbled_record_and_recovers():
+    good = warc.build_warc(_recs(1))
+    garbled = b"WARC/1.0\r\nWARC-Type: response\r\nno content length here\r\n\r\noops"
+    out = list(warc.parse_warc(garbled + good))
+    assert len(out) == 1 and out[0]["record_id"] == "<urn:doc:0>"
+
+
+def test_parse_truncated_tail_emits_partial():
+    blob = warc.build_warc(_recs(1))
+    cut = blob[: blob.rfind(b"body 0") + 4]  # cut mid-payload
+    out = list(warc.parse_warc(cut))
+    assert len(out) == 1
+    assert out[0]["content_length"] == len(b"body 0 with some text")  # declared
+    assert out[0]["payload"] == b"body"  # actual bytes present
+
+
+def test_parse_accepts_bare_lf_and_last_dup_header_wins():
+    blob = (
+        b"WARC/1.0\nWARC-Type: response\nWARC-Type: metadata\n"
+        b"Content-Length: 2\n\nhi\n\n"
+    )
+    out = list(warc.parse_warc(blob))
+    assert len(out) == 1
+    assert out[0]["warc_type"] == "metadata"  # dup key: last wins (documented)
+    assert out[0]["payload"] == b"hi"
+
+
+def test_maybe_gunzip_multimember():
+    a, b = warc.build_warc(_recs(1)), warc.build_warc(_recs(2))
+    blob = gzip.compress(a) + gzip.compress(b)  # Common Crawl layout
+    out = list(warc.parse_warc(warc.maybe_gunzip(blob)))
+    assert len(out) == 3
+    assert warc.maybe_gunzip(a) == a  # plain bytes pass through
+
+
+def test_parse_warc_frame_distributed(spark):
+    blobs = spark.createDataFrame(
+        [("a.warc", warc.build_warc(_recs(3))), ("b.warc.gz", gzip.compress(warc.build_warc(_recs(2))))],
+        "warc_file string, warc_bytes binary",
+    )
+    out = warc.parse_warc_frame(blobs)
+    rows = out.groupBy("warc_file").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("content_length").alias("tot")
+    ).collect()
+    d = {r.warc_file: r for r in rows}
+    assert d["a.warc"].n == 3 and d["b.warc.gz"].n == 2
+    assert d["b.warc.gz"].tot == sum(len(r["payload"]) for r in _recs(2))
+
+
+def test_parse_warc_frame_empty_and_garbage_blobs(spark):
+    blobs = spark.createDataFrame(
+        [("empty.warc", b""), ("junk.warc", b"not a warc at all")],
+        "warc_file string, warc_bytes binary",
+    )
+    assert warc.parse_warc_frame(blobs).count() == 0
+
+
+def test_read_warc_binaryfile(spark, tmp_path):
+    (tmp_path / "seg0.warc").write_bytes(warc.build_warc(_recs(2)))
+    (tmp_path / "seg1.warc.gz").write_bytes(gzip.compress(warc.build_warc(_recs(3))))
+    (tmp_path / "ignore.txt").write_bytes(b"WARC/1.0 lookalike but filtered out")
+    out = warc.read_warc(spark, str(tmp_path), path_glob="*.warc*")
+    assert out.count() == 5
+    only = warc.read_warc(spark, str(tmp_path), path_glob="*.warc.gz")
+    assert only.count() == 3
+
+
+def test_anchor_rollup_counts_and_min(spark):
+    links = spark.createDataFrame(
+        [
+            (1, 10, "zeta page"),
+            (2, 10, "alpha page"),
+            (2, 10, "alpha page"),  # same src+anchor twice
+            (3, 20, "x" * 200),  # truncated to max_anchor_chars
+        ],
+        "src long, dst long, anchor string",
+    )
+    out = {r.dst: r for r in textops.anchor_text_rollup(links, max_anchor_chars=64).collect()}
+    assert out[10].n_anchors == 3
+    assert out[10].n_srcs == 2
+    assert out[10].n_unique_anchors == 2
+    assert out[10].top_anchor == "alpha page"  # lexicographic min
+    assert out[20].top_anchor == "x" * 64
+
+
+def test_anchor_rollup_no_window_plan(spark):
+    links = spark.createDataFrame([(1, 2, "a")], "src long, dst long, anchor string")
+    plan = textops.anchor_text_rollup(links)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, plan
