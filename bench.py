@@ -54,6 +54,10 @@ HEADLINE = [
     "pagerank",
     "sample_weighted",
     "cardinality_sketch",
+    "host_quality_filter",
+    "dedup_incremental",
+    "anchor_rollup",
+    "warc_roundtrip",
     "ann_cosine_topk",
     "ann_cosine_lsh",
     "ann_cosine_ivf",

@@ -59,7 +59,8 @@ _HDR_ORDER = (
 
 RECORD_SCHEMA = (
     "warc_file string, warc_type string, record_id string, warc_date string,"
-    " target_uri string, content_type string, content_length long, payload binary"
+    " target_uri string, content_type string, content_length long, payload binary,"
+    " headers map<string,string>"
 )
 _RECORD_COLS = [
     "warc_file",
@@ -70,6 +71,7 @@ _RECORD_COLS = [
     "content_type",
     "content_length",
     "payload",
+    "headers",
 ]
 
 
@@ -78,8 +80,10 @@ def build_warc(records: Iterable[dict]) -> bytes:
     defaults — callers pass ``record_id`` / ``warc_date`` explicitly.
 
     Each record dict: ``warc_type`` (required), ``payload`` (bytes,
-    default empty), and any of ``record_id`` / ``warc_date`` /
-    ``target_uri`` / ``content_type`` (omitted headers are not written).
+    default empty), any of ``record_id`` / ``warc_date`` / ``target_uri``
+    / ``content_type`` (omitted headers are not written), and
+    ``extra_headers`` — an ordered mapping of additional header
+    name → value pairs (e.g. ``WARC-Identified-Content-Language``).
     """
     out = []
     for r in records:
@@ -91,6 +95,9 @@ def build_warc(records: Iterable[dict]) -> bytes:
             v = r.get(key)
             if v is not None:
                 out.append(hdr.encode("ascii") + b": " + str(v).encode("utf-8") + CRLF)
+        for hdr, v in (r.get("extra_headers") or {}).items():
+            if v is not None:
+                out.append(hdr.encode("utf-8") + b": " + str(v).encode("utf-8") + CRLF)
         out.append(b"Content-Length: " + str(len(payload)).encode("ascii") + CRLF)
         out.append(CRLF)
         out.append(payload)
@@ -163,6 +170,7 @@ def parse_warc(data: bytes) -> Iterator[dict]:
             "content_type": headers.get("content-type"),
             "content_length": length,
             "payload": payload,
+            "headers": headers,
         }
         if pos + length >= n:
             return
@@ -196,6 +204,82 @@ def parse_warc_frame(
     return df.select(
         F.col(file_col).alias(file_col), F.col(bytes_col).alias(bytes_col)
     ).mapInPandas(gen, RECORD_SCHEMA)
+
+
+def records_to_pages(records: DataFrame) -> DataFrame:
+    """WARC response records → the north-rule ``pages`` table
+    (input_hint schema: url, warc_ts, html, text, lang) — the bridge from
+    archived crawls into every downstream stage (run_crawl corpora, the
+    extraction suite, the dedup/quality pipeline).
+
+    ``text`` is (re)computed with the engine's Arrow-batched E1 extraction
+    (byte-identical-to-reference contract, extract.py); ``lang`` comes
+    from the ``WARC-Identified-Content-Language`` header where the
+    archive recorded one (the Common Crawl convention), else NULL.
+    ``warc_date`` is ISO-8601 with Z — Spark's string→timestamp cast
+    handles it natively.
+    """
+    from frontier_engine.extract import extract_text_udf
+
+    r = records.filter(F.col("warc_type") == "response")
+    return r.select(
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").cast("timestamp").alias("warc_ts"),
+        F.col("payload").alias("html"),
+        extract_text_udf(F.col("payload")).alias("text"),
+        F.element_at(F.col("headers"), "warc-identified-content-language").alias("lang"),
+    )
+
+
+def pack_pages(pages: DataFrame, n_files: int = 8) -> DataFrame:
+    """Inverse bridge: pack a ``pages`` frame into ``n_files`` gzipped
+    WARC blobs (hash-bucketed by url, records url-sorted within each blob
+    for determinism) — ``(warc_file, warc_bytes)`` rows ready for
+    ``parse_warc_frame`` or a binary sink.  Html payloads round-trip
+    byte-identically; ``lang`` rides the Common Crawl language header.
+
+    Scale: one applyInPandas group per output file — size ``n_files`` so a
+    blob (≈ corpus bytes / n_files) fits an executor core; at 100 TB this
+    is the archive-export path, not a collect.
+    """
+
+    def build(key, pdf):
+        import gzip as _gzip
+
+        pdf = pdf.sort_values("url")
+        recs = []
+        for r in pdf.itertuples():
+            ts = r.warc_ts
+            recs.append(
+                {
+                    "warc_type": "response",
+                    "record_id": f"<urn:page:{r.url}>",
+                    "warc_date": (
+                        ts.strftime("%Y-%m-%dT%H:%M:%SZ") if pd.notna(ts) else None
+                    ),
+                    "target_uri": r.url,
+                    "content_type": "text/html",
+                    "payload": bytes(r.html) if r.html is not None else b"",
+                    "extra_headers": (
+                        {"WARC-Identified-Content-Language": r.lang}
+                        if r.lang is not None
+                        else None
+                    ),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "warc_file": [f"part-{key[0]:05d}.warc.gz"],
+                "warc_bytes": [_gzip.compress(build_warc(recs))],
+            }
+        )
+
+    bucketed = pages.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_files)).cast("int")
+    )
+    return bucketed.groupBy("_bucket").applyInPandas(
+        build, "warc_file string, warc_bytes binary"
+    )
 
 
 def read_warc(spark: SparkSession, path: str, path_glob: str | None = None) -> DataFrame:

@@ -138,3 +138,48 @@ def test_anchor_rollup_no_window_plan(spark):
     links = spark.createDataFrame([(1, 2, "a")], "src long, dst long, anchor string")
     plan = textops.anchor_text_rollup(links)._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_pages_pack_parse_roundtrip(spark):
+    """pages → pack_pages → parse_warc_frame → records_to_pages must
+    reproduce (url, warc_ts, html, lang) exactly and re-derive `text`
+    through the engine's E1 extraction (byte-identical contract)."""
+    from frontier_engine import synth
+    from frontier_engine.schema import PAGES
+
+    pages = spark.createDataFrame(synth.gen_pages(60), schema=PAGES)
+    back = warc.records_to_pages(warc.parse_warc_frame(warc.pack_pages(pages, n_files=4)))
+
+    # gen_pages emits REPEAT captures of some urls — compare as multisets
+    def keys(df):
+        return sorted(
+            (r.url, bytes(r.html), r.text, r.lang, r.warc_ts) for r in df.collect()
+        )
+
+    a, b = keys(pages), keys(back)
+    assert len(a) == len(b) > 0
+    assert a == b  # engine extraction == golden text; lang rode the header
+
+
+def test_crawl_over_warc_corpus_matches_original(spark):
+    """run_crawl over a WARC-roundtripped corpus must produce the same
+    seen set and fetch counts as over the original pages table — the
+    archived-crawl ingest path is a drop-in corpus source."""
+    from frontier_engine import synth
+    from frontier_engine.frontier import CrawlConfig, run_crawl
+    from frontier_engine.schema import PAGES
+
+    pages = spark.createDataFrame(synth.gen_pages(120), schema=PAGES)
+    via_warc = warc.records_to_pages(
+        warc.parse_warc_frame(warc.pack_pages(pages, n_files=3))
+    )
+    seeds = synth.parse_seed_lines(synth.gen_seed_lines(120, 40))
+    cfg = CrawlConfig(round_seconds=30.0, max_rounds=50)
+    r1 = run_crawl(spark, pages, seeds, cfg)
+    r2 = run_crawl(spark, via_warc, seeds, cfg)
+    s1 = {r.url_key for r in r1.seen.select("url_key").collect()}
+    s2 = {r.url_key for r in r2.seen.select("url_key").collect()}
+    assert s1 == s2 and len(s1) > 0
+    t1 = {(r.url, r.text) for r in r1.pages.select("url", "text").collect()}
+    t2 = {(r.url, r.text) for r in r2.pages.select("url", "text").collect()}
+    assert t1 == t2

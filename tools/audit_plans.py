@@ -62,6 +62,16 @@ AUDIT = {
     # TakeOrderedAndProject directly over the scan (no Exchange, no Sort)
     "sample_weighted": {"pushed": False, "broadcast": False, "take_ordered": True},
     "cardinality_sketch": {"pushed": False, "broadcast": False},
+    # per-host stats frame (one row per source) is broadcast-hinted back
+    # onto the corpus — the doc side must never shuffle for the gate join
+    "host_quality_filter": {"pushed": False, "broadcast": True},
+    "dedup_incremental": {"pushed": False, "broadcast": False},
+    "trap_detection": {"pushed": False, "broadcast": False},
+    "corpus_stats": {"pushed": False, "broadcast": False},
+    "anchor_rollup": {"pushed": False, "broadcast": False},
+    # pandas-stage dominated (applyInPandas pack + mapInPandas parse); the
+    # audit still verifies codegen on the scan side
+    "warc_roundtrip": {"pushed": False, "broadcast": False},
     # not a queries() entry (needs an index path + query vectors); injected
     # in main() — the check that matters is the literal cluster_id IN
     # partition filter pruning index files at the listing
