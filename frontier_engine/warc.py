@@ -37,13 +37,17 @@ crawl-date slicing before any byte is read.
 
 from __future__ import annotations
 
+import codecs
 import gzip
+import re
 from typing import Iterable, Iterator
 
 import pandas as pd  # noqa: F401  (module-level for pandas_udf hint resolution)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType
 
 CRLF = b"\r\n"
 _VERSION = b"WARC/1.0"
@@ -206,7 +210,7 @@ def parse_warc_frame(
     ).mapInPandas(gen, RECORD_SCHEMA)
 
 
-def records_to_pages(records: DataFrame) -> DataFrame:
+def records_to_pages(records: DataFrame, transcode: bool = False) -> DataFrame:
     """WARC response records → the north-rule ``pages`` table
     (input_hint schema: url, warc_ts, html, text, lang) — the bridge from
     archived crawls into every downstream stage (run_crawl corpora, the
@@ -218,15 +222,27 @@ def records_to_pages(records: DataFrame) -> DataFrame:
     archive recorded one (the Common Crawl convention), else NULL.
     ``warc_date`` is ISO-8601 with Z — Spark's string→timestamp cast
     handles it natively.
+
+    ``transcode=True`` runs charset sniffing (BOM > Content-Type
+    charset= > <meta>, see :func:`sniff_charset`) and rewrites non-UTF-8
+    payloads to UTF-8 bytes before extraction — real archives are not all
+    UTF-8, and every downstream stage assumes one encoding.  UTF-8/ASCII
+    payloads pass through byte-identical, so the default-off flag only
+    changes behavior where the bytes were previously mojibake.
     """
     from frontier_engine.extract import extract_text_udf
 
     r = records.filter(F.col("warc_type") == "response")
+    html = (
+        to_utf8_udf(F.col("payload"), F.col("content_type"))
+        if transcode
+        else F.col("payload")
+    )
     return r.select(
         F.col("target_uri").alias("url"),
         F.col("warc_date").cast("timestamp").alias("warc_ts"),
-        F.col("payload").alias("html"),
-        extract_text_udf(F.col("payload")).alias("text"),
+        html.alias("html"),
+        extract_text_udf(html).alias("text"),
         F.element_at(F.col("headers"), "warc-identified-content-language").alias("lang"),
     )
 
@@ -295,4 +311,72 @@ def read_warc(spark: SparkSession, path: str, path_glob: str | None = None) -> D
     bf = reader.load(path)
     return parse_warc_frame(
         bf.select(F.col("path").alias("warc_file"), F.col("content").alias("warc_bytes"))
+    )
+
+
+# -- charset handling --------------------------------------------------------
+#
+# The engine's extraction decodes html bytes as UTF-8-with-replace
+# (extract._as_str — the reference-parity contract).  Real archives are not
+# all UTF-8: the WHATWG-ish sniff order below (BOM, then the HTTP
+# Content-Type charset parameter, then an early <meta> declaration) covers
+# what Common Crawl actually contains; payloads are TRANSCODED to UTF-8 at
+# ingest so every downstream stage keeps its single-encoding contract.
+
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+_CHARSET_RE = re.compile(rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.I)
+
+
+def sniff_charset(
+    payload: bytes, content_type: str | None = None, default: str = "utf-8"
+) -> str:
+    """BOM > Content-Type charset= > <meta> charset in the first 2 KB >
+    default.  Unknown/bogus labels fall back to the default."""
+    for bom, enc in _BOMS:
+        if payload[: len(bom)] == bom:
+            return enc
+    m = _CHARSET_RE.search((content_type or "").encode("ascii", "ignore"))
+    if not m:
+        # meta charset= / http-equiv content="...charset=..." — ASCII-superset
+        # scan of the prologue (covers every legacy 8-bit encoding; UTF-16
+        # pages are caught by the BOM branch above)
+        m = _CHARSET_RE.search(payload[:2048])
+    if m:
+        enc = m.group(1).decode("ascii").lower()
+        try:
+            codecs.lookup(enc)
+            return enc
+        except LookupError:
+            return default
+    return default
+
+
+def decode_payload(payload: bytes, content_type: str | None = None) -> str:
+    """Decode with the sniffed charset (replace errors), BOM stripped."""
+    return payload.decode(sniff_charset(payload, content_type), errors="replace").lstrip(
+        "﻿"
+    )
+
+
+def to_utf8(payload: bytes, content_type: str | None = None) -> bytes:
+    """Transcode to UTF-8 bytes; pure-ASCII/UTF-8 payloads with no BOM pass
+    through unchanged (byte-identity preserved for the common case)."""
+    enc = sniff_charset(payload, content_type)
+    if enc == "utf-8":
+        return payload
+    return decode_payload(payload, content_type).encode("utf-8")
+
+
+@pandas_udf(BinaryType())
+def to_utf8_udf(payload: pd.Series, content_type: pd.Series) -> pd.Series:
+    """Arrow-batched :func:`to_utf8` — charset-normalize a binary column."""
+    return pd.Series(
+        [
+            to_utf8(bytes(p), c) if p is not None else None
+            for p, c in zip(payload, content_type)
+        ]
     )

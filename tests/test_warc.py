@@ -183,3 +183,63 @@ def test_crawl_over_warc_corpus_matches_original(spark):
     t1 = {(r.url, r.text) for r in r1.pages.select("url", "text").collect()}
     t2 = {(r.url, r.text) for r in r2.pages.select("url", "text").collect()}
     assert t1 == t2
+
+
+def test_sniff_charset_precedence():
+    # BOM beats everything
+    assert warc.sniff_charset(b"\xff\xfex\x00", "text/html; charset=latin-1") == "utf-16-le"
+    assert warc.sniff_charset(b"\xef\xbb\xbfhi") == "utf-8-sig"
+    # Content-Type parameter beats meta
+    assert (
+        warc.sniff_charset(b'<meta charset="koi8-r">', "text/html; charset=ISO-8859-1")
+        == "iso-8859-1"
+    )
+    # meta in the prologue
+    assert warc.sniff_charset(b'<html><meta charset=windows-1252>') == "windows-1252"
+    assert (
+        warc.sniff_charset(
+            b'<meta http-equiv="Content-Type" content="text/html; charset=Shift_JIS">'
+        )
+        == "shift_jis"
+    )
+    # bogus label / nothing declared -> default
+    assert warc.sniff_charset(b'<meta charset="not-a-codec">') == "utf-8"
+    assert warc.sniff_charset(b"plain ascii") == "utf-8"
+
+
+def test_to_utf8_transcodes_and_passes_through():
+    latin = "<p>café señor</p>".encode("latin-1")
+    assert warc.to_utf8(latin, "text/html; charset=latin-1").decode() == "<p>café señor</p>"
+    # utf-16 with BOM, no header
+    u16 = "<p>héllo</p>".encode("utf-16")  # includes BOM
+    assert warc.to_utf8(u16).decode() == "<p>héllo</p>"
+    # utf-8 input: byte-identical passthrough
+    u8 = "<p>日本語</p>".encode()
+    assert warc.to_utf8(u8) is u8
+
+
+def test_records_to_pages_transcode_end_to_end(spark):
+    """A latin-1 page with a meta declaration must extract clean text
+    through records_to_pages(transcode=True) — and stay mojibake with the
+    flag off (proving the flag is what fixes it)."""
+    html = '<html><head><meta charset="iso-8859-1"></head><body>café señor</body></html>'
+    blob = warc.build_warc(
+        [
+            {
+                "warc_type": "response",
+                "record_id": "<urn:doc:1>",
+                "warc_date": "2024-01-01T00:00:00Z",
+                "target_uri": "http://h.example/a",
+                "content_type": "text/html",
+                "payload": html.encode("iso-8859-1"),
+            }
+        ]
+    )
+    recs = warc.parse_warc_frame(
+        spark.createDataFrame([("f.warc", blob)], "warc_file string, warc_bytes binary")
+    )
+    good = warc.records_to_pages(recs, transcode=True).collect()[0]
+    assert good.text == "café señor"
+    assert bytes(good.html).decode("utf-8") == html
+    raw = warc.records_to_pages(recs, transcode=False).collect()[0]
+    assert "café" not in (raw.text or "")
