@@ -1,0 +1,167 @@
+"""Sitemap ingestion (sitemaps.org XML protocol) — the third seeding path
+a real crawler has beside seed lists (S1/S2) and link discovery (J2/J4):
+`robots.txt` advertises sitemap URLs, sitemap INDEX files fan out to urlset
+files, and urlsets carry per-URL `lastmod` / `changefreq` / `priority`
+hints that map directly onto the engine's priority frontier
+(`frontier.with_priority` / `run_crawl(seed_scores=...)`).
+
+Reference parity note: the reference scraper takes explicit seed lists only
+(src/main.py seed handling) and never reads sitemaps; this module is a
+beyond-reference addition in the same spirit as the WARC source — the
+ingest surfaces a production crawl actually has.
+
+Parsing is namespace-agnostic (matches element LOCAL names), tolerant of
+malformed XML (a file that fails to parse yields zero rows, mirroring the
+WARC parser's skip-and-continue posture), and gzip-sniffing
+(`sitemap.xml.gz` is ubiquitous).  Like robots.txt, sitemaps are per-HOST
+dim data — parse via Arrow-batched ``mapInPandas``; the frontier itself
+never passes through Python.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+
+import pandas as pd  # noqa: F401  (module-level for pandas_udf hint resolution)
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from frontier_engine.warc import maybe_gunzip
+
+URL_SCHEMA = (
+    "sitemap_url string, loc string, lastmod string, changefreq string,"
+    " priority double"
+)
+_CHANGEFREQS = {"always", "hourly", "daily", "weekly", "monthly", "yearly", "never"}
+_SITEMAP_LINE = re.compile(r"^\s*sitemap\s*:\s*(\S+)\s*$", re.I | re.M)
+
+
+def _local(tag: str) -> str:
+    """'{http://www.sitemaps.org/...}loc' → 'loc' (namespace-agnostic)."""
+    return tag.rsplit("}", 1)[-1].lower()
+
+
+def parse_sitemap(data: bytes) -> dict:
+    """Parse one sitemap blob (gzip-sniffed).
+
+    Returns ``{"kind": "urlset"|"sitemapindex"|"invalid", "urls": [...],
+    "sitemaps": [...]}`` — ``urls`` rows are dicts (loc, lastmod,
+    changefreq, priority); ``sitemaps`` is the child-sitemap loc list of
+    an index file.  Unparseable XML → ``kind="invalid"``, zero rows (the
+    skip-and-continue posture; a crawler must not die on one bad host).
+    Out-of-spec values are normalized: unknown changefreq → None,
+    non-numeric or out-of-range priority → None.
+    """
+    out: dict = {"kind": "invalid", "urls": [], "sitemaps": []}
+    try:
+        root = ET.fromstring(maybe_gunzip(data))
+    except (ET.ParseError, OSError, ValueError):
+        return out
+    kind = _local(root.tag)
+    if kind not in ("urlset", "sitemapindex"):
+        return out
+    out["kind"] = kind
+    for child in root:
+        name = _local(child.tag)
+        if kind == "sitemapindex" and name == "sitemap":
+            loc = next((c.text for c in child if _local(c.tag) == "loc"), None)
+            if loc and loc.strip():
+                out["sitemaps"].append(loc.strip())
+        elif kind == "urlset" and name == "url":
+            row = {"loc": None, "lastmod": None, "changefreq": None, "priority": None}
+            for c in child:
+                cn = _local(c.tag)
+                if cn in row and c.text is not None:
+                    row[cn] = c.text.strip()
+            if not row["loc"]:
+                continue
+            if row["changefreq"] is not None:
+                row["changefreq"] = row["changefreq"].lower()
+                if row["changefreq"] not in _CHANGEFREQS:
+                    row["changefreq"] = None
+            if row["priority"] is not None:
+                try:
+                    p = float(row["priority"])
+                    row["priority"] = p if 0.0 <= p <= 1.0 else None
+                except ValueError:
+                    row["priority"] = None
+            out["urls"].append(row)
+    return out
+
+
+def sitemaps_from_robots(robots_txt: str | None) -> list[str]:
+    """`Sitemap:` directives from a robots.txt body (case-insensitive,
+    outside any user-agent group per RFC 9309 §2.3 / sitemaps.org)."""
+    if not robots_txt:
+        return []
+    return [m.group(1) for m in _SITEMAP_LINE.finditer(robots_txt)]
+
+
+def parse_sitemap_frame(
+    df: DataFrame, url_col: str = "sitemap_url", bytes_col: str = "xml"
+) -> DataFrame:
+    """(sitemap url, xml blob) rows → one row per ``<url>`` entry
+    (URL_SCHEMA).  Index files contribute no url rows here — resolve them
+    with :func:`child_sitemaps` first (fetch loop at the driver: the
+    index fan-out is per-host-sized, never corpus-sized)."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("sitemap_url", "loc", "lastmod", "changefreq", "priority")}
+            for u, blob in zip(pdf[url_col], pdf[bytes_col]):
+                for r in parse_sitemap(bytes(blob))["urls"]:
+                    rows["sitemap_url"].append(u)
+                    for k in ("loc", "lastmod", "changefreq", "priority"):
+                        rows[k].append(r[k])
+            if rows["sitemap_url"]:
+                out = pd.DataFrame(rows)
+                out["priority"] = out["priority"].astype("float64")
+                yield out
+
+    return df.select(F.col(url_col).alias(url_col), F.col(bytes_col).alias(bytes_col)).mapInPandas(
+        gen, URL_SCHEMA
+    )
+
+
+def child_sitemaps(df: DataFrame, url_col: str = "sitemap_url", bytes_col: str = "xml") -> DataFrame:
+    """(sitemap url, xml blob) rows → (parent, child) rows for index
+    files — the driver-side fan-out loop fetches children and feeds them
+    back through :func:`parse_sitemap_frame`."""
+
+    def gen(batches):
+        for pdf in batches:
+            parents, children = [], []
+            for u, blob in zip(pdf[url_col], pdf[bytes_col]):
+                for c in parse_sitemap(bytes(blob))["sitemaps"]:
+                    parents.append(u)
+                    children.append(c)
+            if parents:
+                yield pd.DataFrame({"parent": parents, "child": children})
+
+    return df.select(F.col(url_col), F.col(bytes_col)).mapInPandas(
+        gen, "parent string, child string"
+    )
+
+
+def seed_scores_from_sitemaps(urls: DataFrame, default_priority: float = 0.5) -> DataFrame:
+    """Sitemap url rows → a ``(url_key, score)`` priority table for
+    ``run_crawl(seed_scores=...)``: score = sitemap ``priority`` (spec
+    default 0.5 when absent), max-merged across sitemaps that list the
+    same URL.  Canonicalization matches the frontier's own key so the
+    broadcast join in ``with_priority`` lines up."""
+    from frontier_engine.canonicalize import surt_key_udf
+
+    keyed = urls.select(F.col("loc").alias("url"), "priority").withColumn(
+        "url_key", surt_key_udf("url")
+    )
+    return (
+        keyed.filter(F.col("url_key").isNotNull())
+        .groupBy("url_key")
+        .agg(
+            F.max(F.coalesce(F.col("priority"), F.lit(float(default_priority)))).alias(
+                "score"
+            )
+        )
+    )
