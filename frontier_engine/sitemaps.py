@@ -165,3 +165,91 @@ def seed_scores_from_sitemaps(urls: DataFrame, default_priority: float = 0.5) ->
             )
         )
     )
+
+
+# seconds per nominal change interval (sitemaps.org changefreq values);
+# "always" is treated as hourly for scheduling purposes, "never" never
+# becomes due on interval alone (only a newer lastmod can resurrect it)
+_FREQ_SECONDS = {
+    "always": 3600.0,
+    "hourly": 3600.0,
+    "daily": 86400.0,
+    "weekly": 604800.0,
+    "monthly": 2592000.0,
+    "yearly": 31536000.0,
+}
+
+
+def revisit_scores(
+    last_fetch: DataFrame,
+    sitemap_urls: DataFrame,
+    now_ts: str,
+    default_changefreq: str = "weekly",
+    default_priority: float = 0.5,
+) -> DataFrame:
+    """Recrawl scheduling — the freshness half of frontier prioritization
+    (Cho & Garcia-Molina 2000: revisit frequency should track change
+    frequency).  Combines the crawl's own state with the host's declared
+    change hints into a ``(url_key, score)`` table for
+    ``run_crawl(seed_scores=...)``.
+
+    Inputs: ``last_fetch`` = (url_key, fetch_ts) — one row per known URL
+    (e.g. ``max(fetch_ts) groupBy url_key`` over crawl result pages);
+    ``sitemap_urls`` = URL_SCHEMA rows from :func:`parse_sitemap_frame`.
+    ``now_ts`` is an explicit ISO timestamp string — deterministic by
+    construction, no wall-clock read.
+
+    Score (higher = fetch sooner, scaled by sitemap priority):
+
+    * ``lastmod`` after our last fetch ⇒ the page CHANGED since we saw
+      it: score = 2 × priority (the ceiling — hard evidence beats any
+      interval heuristic).
+    * else: overdue ratio = elapsed-since-fetch / changefreq interval,
+      capped at 2 (a year-overdue daily page shouldn't starve everything
+      else); ``never`` pages score 0 on interval alone.
+    * URLs the sitemap lists but we NEVER fetched score 2 × priority
+      (discovery beats refresh at equal priority).
+
+    Scale: both sides are url_key tables (KBs/row); one equi-join on
+    url_key + column math — no windows, no UDFs, partial-agg max-merge on
+    the sitemap side.  At 10^10 URLs this is exactly the shape of the
+    bucketed seen store (seen.py): join bucket-to-bucket, shuffle-free.
+    """
+    from frontier_engine.canonicalize import surt_key_udf
+
+    sm = (
+        sitemap_urls.withColumn("url_key", surt_key_udf(F.col("loc")))
+        .filter(F.col("url_key").isNotNull())
+        .groupBy("url_key")
+        .agg(
+            F.max(F.to_timestamp("lastmod")).alias("lastmod_ts"),
+            F.max(F.coalesce(F.col("priority"), F.lit(float(default_priority)))).alias(
+                "prio"
+            ),
+            # most-demanding declared interval wins (min seconds)
+            F.min(
+                F.coalesce(
+                    *[
+                        F.when(F.col("changefreq") == k, F.lit(v))
+                        for k, v in _FREQ_SECONDS.items()
+                    ],
+                    F.when(F.col("changefreq") == "never", F.lit(float("inf"))),
+                    F.lit(_FREQ_SECONDS[default_changefreq]),
+                )
+            ).alias("interval_sec"),
+        )
+    )
+    lf = last_fetch.select("url_key", F.col("fetch_ts").cast("timestamp").alias("fetch_ts"))
+    now = F.to_timestamp(F.lit(now_ts))
+    joined = sm.join(lf, "url_key", "left")
+    elapsed = F.unix_timestamp(now) - F.unix_timestamp(F.col("fetch_ts"))
+    overdue = F.least(elapsed / F.col("interval_sec"), F.lit(2.0))
+    score = (
+        F.when(F.col("fetch_ts").isNull(), F.lit(2.0))  # never fetched
+        .when(
+            F.col("lastmod_ts").isNotNull() & (F.col("lastmod_ts") > F.col("fetch_ts")),
+            F.lit(2.0),
+        )  # changed since last fetch
+        .otherwise(F.greatest(overdue, F.lit(0.0)))
+    )
+    return joined.select("url_key", (score * F.col("prio")).alias("score"))

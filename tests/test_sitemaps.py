@@ -143,3 +143,46 @@ def test_sitemap_priorities_drive_crawl_order(spark):
     fetched = res.pages.select("url", "round").collect()
     by_url = {r.url: r.round for r in fetched}
     assert by_url[host_urls[2]] == min(by_url.values())  # top priority went first
+
+
+def test_revisit_scores_scheduling(spark):
+    """Freshness scheduling: changed-since-fetch and never-fetched hit the
+    2x ceiling, overdue ratio accrues by changefreq, 'never' stays 0."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 10, 0, 0, 0)
+
+    def u(k):
+        return f"http://x.example/{k}"
+
+    from frontier_engine.canonicalize import surt_key
+
+    rows = [
+        ("s", u("k_changed"), "2024-01-11T00:00:00", "daily", 1.0),   # lastmod AFTER fetch
+        ("s", u("k_fresh_daily"), "2024-01-01T00:00:00", "daily", 1.0),
+        ("s", u("k_overdue_daily"), None, "daily", 0.5),
+        ("s", u("k_never"), "2024-01-01T00:00:00", "never", 1.0),
+        ("s", u("k_capped"), None, "hourly", 1.0),                     # wildly overdue
+        ("s", u("k_new"), None, None, 0.8),                            # never fetched
+    ]
+    sm = spark.createDataFrame(rows, sitemaps.URL_SCHEMA)
+    # revisit_scores keys by surt_key(loc) — build last_fetch with the same keys
+    lf = spark.createDataFrame(
+        [(surt_key(u(k)), t) for k, t in
+         [("k_changed", base), ("k_fresh_daily", base), ("k_overdue_daily", base),
+          ("k_never", base), ("k_capped", base)]],
+        "url_key string, fetch_ts timestamp",
+    )
+    # now = fetch + 36h: daily pages are 1.5 intervals overdue
+    out = {r.url_key: r.score for r in
+           sitemaps.revisit_scores(lf, sm, "2024-01-11 12:00:00").collect()}
+
+    def s(k):
+        return out[surt_key(u(k))]
+
+    assert s("k_changed") == 2.0          # changed since fetch -> ceiling
+    assert abs(s("k_overdue_daily") - 0.75) < 1e-9   # 1.5 overdue * prio 0.5
+    assert abs(s("k_fresh_daily") - 1.5) < 1e-9      # interval path (lastmod older)
+    assert s("k_never") == 0.0            # never + no new lastmod
+    assert abs(s("k_capped") - 2.0) < 1e-9           # capped at 2 * prio 1.0
+    assert abs(s("k_new") - 1.6) < 1e-9   # never fetched: 2 * prio 0.8
