@@ -2127,3 +2127,66 @@ def anchor_text_rollup(links: DataFrame, max_anchor_chars: int = 64) -> DataFram
         F.countDistinct("anchor").alias("n_unique_anchors"),
         F.min("anchor").alias("top_anchor"),
     )
+
+
+def write_band_index(
+    index_docs: DataFrame,
+    table_name: str,
+    path: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    n_buckets: int = 64,
+) -> None:
+    """Persist the historical index's DISTINCT LSH band keys as a
+    bucketed, bucket-sorted table — the store side of daily incremental
+    dedup, the exact analogue of the bucketed URL-seen store
+    (seen.write_bucketed_seen): pay the clustering shuffle ONCE at write
+    time and every day's new-vs-index semi-join reads pre-clustered
+    buckets with no store-side Exchange.
+
+    band_id is folded into a single ``band_key`` string column so the
+    join key equals the bucket key exactly (a join on a superset of the
+    bucket columns would re-shuffle both sides).  At 100 TB the key table
+    is ~(docs × n_bands) 50-byte rows BEFORE the distinct collapses
+    boilerplate bands — TBs, not the corpus; appending each day's
+    surviving keys via ``INSERT INTO`` (bucket spec preserved) keeps it
+    current without rewrites.
+    """
+    keys = (
+        lsh_band_keys(index_docs, n_hashes, band_size, shingle_n)
+        .select(F.concat_ws("#", "band_id", "band_hash").alias("band_key"))
+        .distinct()
+    )
+    (
+        keys.write.mode("overwrite")
+        .bucketBy(n_buckets, "band_key")
+        .sortBy("band_key")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def dedup_minhash_incremental_bucketed(
+    new_docs: DataFrame,
+    spark,
+    table_name: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """``dedup_minhash_incremental`` against a persisted band-key store
+    (``write_band_index``): identical survivors, but the index side scans
+    pre-bucketed — only the day's delta shuffles.  Plan-asserted single
+    Exchange in tests/test_round6b.py (same contract as the bucketed
+    URL-seen gate, seen.py:298)."""
+    newb = lsh_band_keys(new_docs, n_hashes, band_size, shingle_n).select(
+        "doc_id", F.concat_ws("#", "band_id", "band_hash").alias("band_key")
+    )
+    hit = (
+        newb.join(spark.table(table_name), "band_key", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return new_docs.join(hit, "doc_id", "left_anti")

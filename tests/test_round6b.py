@@ -123,3 +123,31 @@ def test_host_quality_stats_partial_agg_shape(spark):
     d = _docs(spark, [(i, f"h{i % 3}", GOOD) for i in range(12)])
     plan = textops.host_quality_stats(d)._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_dedup_incremental_bucketed_rows_and_plan(spark, tmp_path):
+    """The persisted band-key store must give the SAME survivors as the
+    inline incremental dedup, with no store-side Exchange in the semi-join
+    (bucket layout satisfies the join's clustering)."""
+    index = _plain(spark, [(i, f"indexed document number {i} with shared filler words") for i in range(6)])
+    new = _plain(spark, [(100, "indexed document number 3 with shared filler words"),
+                         (101, _UNREL)])
+    textops.write_band_index(index, "band_index_test", str(tmp_path / "band_tbl"), n_buckets=8)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = textops.dedup_minhash_incremental_bucketed(new, spark, "band_index_test")
+            got = {r.doc_id for r in out.collect()}
+            want = {r.doc_id for r in textops.dedup_minhash_incremental(new, index).collect()}
+            assert got == want
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            final_plan = plan.split("== Initial Plan ==")[0]
+            assert "Bucketed: true" in final_plan
+            # exactly ONE band_key exchange — the delta side's; the STORE
+            # (bucketed scan) contributes none
+            assert final_plan.count("Exchange hashpartitioning(band_key") == 1
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_index_test")
