@@ -35,6 +35,20 @@ def cmd_crawl(args) -> int:
     else:
         seeds = spark.read.parquet(args.seeds)
     policy = spark.read.parquet(args.host_policy) if args.host_policy else None
+    seed_scores = None
+    if getattr(args, "sitemap_dir", None):
+        # sitemap priorities -> frontier ordering (sitemaps.py); the dir
+        # holds fetched sitemap XML (plain or .gz), one file per sitemap
+        from pyspark.sql import functions as F
+
+        from frontier_engine import sitemaps
+
+        sm = (
+            spark.read.format("binaryFile")
+            .load(args.sitemap_dir)
+            .select(F.col("path").alias("sitemap_url"), F.col("content").alias("xml"))
+        )
+        seed_scores = sitemaps.seed_scores_from_sitemaps(sitemaps.parse_sitemap_frame(sm))
     cfg = CrawlConfig(
         max_depth=args.max_depth,
         round_seconds=args.round_seconds,
@@ -44,7 +58,7 @@ def cmd_crawl(args) -> int:
         checkpoint_dir=args.checkpoint_dir,
         n_partitions=args.cpus or 32,
     )
-    res = run_crawl(spark, corpus, seeds, cfg, host_policy=policy)
+    res = run_crawl(spark, corpus, seeds, cfg, host_policy=policy, seed_scores=seed_scores)
     if args.out:
         res.pages.write.mode("overwrite").parquet(args.out + "/pages")
         res.seen.write.mode("overwrite").parquet(args.out + "/seen")
@@ -88,6 +102,47 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_warc_ingest(args) -> int:
+    """WARC archive (dir of .warc/.warc.gz segments) → pages parquet —
+    the Common Crawl ingest path (warc.py); one task per segment file."""
+    from frontier_engine import warc
+    from frontier_engine.session import get_spark
+
+    spark = get_spark(args.master, app_name="frontier-warc-ingest")
+    recs = warc.read_warc(spark, args.warc, path_glob=args.glob)
+    pages = warc.records_to_pages(recs, transcode=args.transcode)
+    pages.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"pages": spark.read.parquet(args.out).count(), "out": args.out}))
+    spark.stop()
+    return 0
+
+
+def cmd_warc_export(args) -> int:
+    """pages parquet → gzipped WARC segments (archival export,
+    warc.pack_pages); blobs are written worker-side, one file per hash
+    bucket — point --out at shared/object storage on a cluster."""
+    import os
+
+    from frontier_engine import warc
+    from frontier_engine.session import get_spark
+
+    spark = get_spark(args.master, app_name="frontier-warc-export")
+    pages = spark.read.parquet(args.pages)
+    blobs = warc.pack_pages(pages, n_files=args.files)
+    out_dir = args.out
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(rows):
+        for r in rows:
+            with open(os.path.join(out_dir, r.warc_file), "wb") as fh:
+                fh.write(bytes(r.warc_bytes))
+
+    blobs.foreachPartition(write_part)
+    print(json.dumps({"files": args.files, "out": out_dir}))
+    spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="frontier_engine")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -104,7 +159,29 @@ def main(argv=None) -> int:
     c.add_argument("--robots", action="store_true")
     c.add_argument("--checkpoint-dir", default=None)
     c.add_argument("--out", default=None)
+    c.add_argument(
+        "--sitemap-dir",
+        default=None,
+        help="dir of fetched sitemap XML (.xml/.xml.gz); priorities order the frontier",
+    )
     c.set_defaults(fn=cmd_crawl)
+
+    wi = sub.add_parser("warc-ingest", help="WARC segments -> pages parquet")
+    _add_common(wi)
+    wi.add_argument("--warc", required=True, help="dir of .warc/.warc.gz files")
+    wi.add_argument("--glob", default=None, help="pathGlobFilter, e.g. '*.warc.gz'")
+    wi.add_argument("--out", required=True)
+    wi.add_argument(
+        "--transcode", action="store_true", help="charset-sniff and rewrite payloads to UTF-8"
+    )
+    wi.set_defaults(fn=cmd_warc_ingest)
+
+    we = sub.add_parser("warc-export", help="pages parquet -> gzipped WARC segments")
+    _add_common(we)
+    we.add_argument("--pages", required=True)
+    we.add_argument("--out", required=True)
+    we.add_argument("--files", type=int, default=8, help="output segment count")
+    we.set_defaults(fn=cmd_warc_export)
 
     e = sub.add_parser("extract", help="one-pass extraction over a pages table")
     _add_common(e)
