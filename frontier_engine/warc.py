@@ -380,3 +380,27 @@ def to_utf8_udf(payload: pd.Series, content_type: pd.Series) -> pd.Series:
             for p, c in zip(payload, content_type)
         ]
     )
+
+
+_BINARYFILE_SCHEMA = "path string, modificationTime timestamp, length long, content binary"
+
+
+def read_warc_stream(spark: SparkSession, path: str, path_glob: str | None = None) -> DataFrame:
+    """Streaming twin of :func:`read_warc` — the 'crawler is still writing
+    segments while the pipeline runs' regime: new WARC files landing under
+    ``path`` are discovered per micro-batch (file source requires an
+    explicit schema; binaryFile's is fixed).  Everything downstream is
+    identical because :func:`parse_warc_frame` (stateless mapInPandas) and
+    :func:`records_to_pages` (projections + pandas UDFs) are
+    streaming-safe.  The file source's checkpoint log gives exactly-once
+    per segment: a restarted query neither re-parses nor skips files —
+    pytest pins both halves (stream==batch identity, resume picks up only
+    the new segment).
+    """
+    reader = spark.readStream.format("binaryFile").schema(_BINARYFILE_SCHEMA)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    bf = reader.load(path)
+    return parse_warc_frame(
+        bf.select(F.col("path").alias("warc_file"), F.col("content").alias("warc_bytes"))
+    )

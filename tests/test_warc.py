@@ -243,3 +243,40 @@ def test_records_to_pages_transcode_end_to_end(spark):
     assert bytes(good.html).decode("utf-8") == html
     raw = warc.records_to_pages(recs, transcode=False).collect()[0]
     assert "café" not in (raw.text or "")
+
+
+def test_read_warc_stream_identity_and_resume(spark, tmp_path):
+    """Streaming WARC ingest == batch over the same segments, and a
+    restart with the same checkpoint parses ONLY newly-landed files."""
+    seg = tmp_path / "segments"
+    seg.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    (seg / "s0.warc").write_bytes(warc.build_warc(_recs(2)))
+    (seg / "s1.warc.gz").write_bytes(gzip.compress(warc.build_warc(_recs(3))))
+
+    def drain():
+        q = (
+            warc.read_warc_stream(spark, str(seg))
+            .select("warc_file", "record_id", "content_length")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.warc_file, r.record_id) for r in spark.read.parquet(out).collect()}
+
+    got1 = drain()
+    batch = {
+        (r.warc_file, r.record_id)
+        for r in warc.read_warc(spark, str(seg)).select("warc_file", "record_id").collect()
+    }
+    assert got1 == batch and len(got1) == 5
+
+    # a third segment lands; the resumed query must parse ONLY the delta
+    (seg / "s2.warc").write_bytes(warc.build_warc(_recs(4)))
+    got2 = drain()
+    assert len(got2) == 9  # 5 old (not re-parsed, not lost) + 4 new
+    assert all(f.endswith("s2.warc") for f, _ in got2 - got1)
