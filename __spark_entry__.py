@@ -958,10 +958,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-less by design (recall contracts in RECALL.json +
         # tests/test_ann.py; HLL error-bound + merge-identity pytest); the
         # scalar/filter queries below each have green driver rows in EVERY
-        # sweep CORRECTNESS_r01-r05 (clean_text, filter_contains,
-        # filter_range, except_keys, date_arithmetic, hourly_counts,
-        # json_extract, filter_equals, union_distinct) or r02-r05
-        # (regex_extract/content_hash/humanize_size) ---
+        # sweep CORRECTNESS_r01-r05 (verified against the artifacts:
+        # clean_text, filter_contains, filter_range, except_keys,
+        # date_arithmetic, hourly_counts, json_extract, filter_equals,
+        # union_distinct, regex_extract, content_hash, humanize_size) ---
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
         "cardinality_sketch": q_cardinality_sketch,
