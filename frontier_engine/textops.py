@@ -2117,8 +2117,8 @@ def anchor_text_rollup(links: DataFrame, max_anchor_chars: int = 64) -> DataFram
     windows, no collect_list of the in-link set.
     """
     a = links.select(
-        F.col("dst").cast("long").alias("dst"),
-        F.col("src").cast("long").alias("src"),
+        F.col("dst"),
+        F.col("src"),
         F.substring(F.col("anchor"), 1, max_anchor_chars).alias("anchor"),
     )
     return a.groupBy("dst").agg(
@@ -2127,6 +2127,30 @@ def anchor_text_rollup(links: DataFrame, max_anchor_chars: int = 64) -> DataFram
         F.countDistinct("anchor").alias("n_unique_anchors"),
         F.min("anchor").alias("top_anchor"),
     )
+
+
+def anchor_rollup_from_pages(pages: DataFrame, max_anchor_chars: int = 64) -> DataFrame:
+    """The production composition behind ``anchor_text_rollup``: explode
+    the extraction stage's ``links`` column ((url, text) structs —
+    schema.LINK, exactly what ``with_extractions``/run_crawl pages carry),
+    canonicalize each target to its surt url_key (same key family as the
+    frontier and the URL-seen store, so the output joins straight onto
+    either), and roll up per target.  src is the linking PAGE url; NULL
+    anchors (bare <a href>) count as the empty string, NULL/invalid
+    targets are dropped.
+    """
+    from frontier_engine.canonicalize import surt_key_udf
+
+    links = (
+        pages.select(F.col("url").alias("src"), F.explode("links").alias("l"))
+        .select(
+            "src",
+            surt_key_udf(F.col("l.url")).alias("dst"),
+            F.coalesce(F.col("l.text"), F.lit("")).alias("anchor"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    return anchor_text_rollup(links, max_anchor_chars)
 
 
 def write_band_index(

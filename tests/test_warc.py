@@ -280,3 +280,33 @@ def test_read_warc_stream_identity_and_resume(spark, tmp_path):
     got2 = drain()
     assert len(got2) == 9  # 5 old (not re-parsed, not lost) + 4 new
     assert all(f.endswith("s2.warc") for f, _ in got2 - got1)
+
+
+def test_anchor_rollup_from_real_extraction(spark):
+    """The rollup composes with REAL extraction output: explode the links
+    column with_extractions emits, canonicalize targets, and the counts
+    match a Python fold over the same extracted links."""
+    from collections import defaultdict
+
+    from frontier_engine import synth
+    from frontier_engine.canonicalize import surt_key
+    from frontier_engine.extract import with_extractions
+    from frontier_engine.schema import PAGES
+
+    pages = with_extractions(spark.createDataFrame(synth.gen_pages(50), schema=PAGES))
+    out = {r.dst: r for r in textops.anchor_rollup_from_pages(pages).collect()}
+
+    want_n = defaultdict(int)
+    want_min: dict = {}
+    for r in pages.select("url", "links").collect():
+        for l in r.links or []:
+            k = surt_key(l.url)
+            if k is None:
+                continue
+            a = (l.text or "")[:64]
+            want_n[k] += 1
+            want_min[k] = a if k not in want_min else min(want_min[k], a)
+    assert want_n and set(out) == set(want_n)
+    for k in want_n:
+        assert out[k].n_anchors == want_n[k]
+        assert out[k].top_anchor == want_min[k]
