@@ -80,7 +80,27 @@ class CrawlConfig:
     # (resume then pays ≤ K-1 small delta builds); at sandbox scale the
     # bitmaps are MBs and K=1 is free.
     persist_bloom_every: int = 1
+    # mid-crawl sitemap discovery (sitemaps.py): auto-enqueue each seed
+    # host's /robots.txt (score ROBOTS_FETCH_SCORE so it wins an early
+    # politeness slot), parse fetched robots/sitemap bodies every round,
+    # and enqueue what they advertise — child sitemaps at
+    # SITEMAP_FETCH_SCORE, content URLs at their declared priority — the
+    # production chain robots → sitemapindex → urlset → pages running
+    # through the normal frontier (politeness budget, seen gate and all).
+    # Orthogonal to max_depth: sitemap entries are seed advertisements,
+    # not link discovery.  Default off ⇒ byte-identical parity (P8).
+    discover_sitemaps: bool = False
     extra: dict = field(default_factory=dict)
+
+
+# frontier scores for the discovery chain: robots outranks everything
+# (cheapest page on the host, unlocks the rest), sitemap files outrank
+# ordinary seeds (score 1.0), urlset entries rank by declared priority
+# (spec range 0..1, default 0.5) — so discovery composes with, never
+# preempts, explicitly-seeded work beyond the two dim fetches per host
+ROBOTS_FETCH_SCORE = 2.0
+SITEMAP_FETCH_SCORE = 1.5
+SITEMAP_DEFAULT_PRIORITY = 0.5
 
 
 FRONTIER_COLS = [
@@ -262,6 +282,11 @@ def run_crawl(
         frontier = seeds_to_frontier(spark, seed_urls)
         if seed_scores is not None:
             frontier = with_priority(frontier, seed_scores)
+        if cfg.discover_sitemaps:
+            # AFTER with_priority: robots rows keep ROBOTS_FETCH_SCORE
+            # rather than being rescored like seeds.  Fresh starts only —
+            # a resumed frontier already carries (or has drained) them.
+            frontier = frontier.unionByName(_robots_seed_rows(frontier))
         frontier = frontier.localCheckpoint(eager=True)
         seed_ingest_sec = round(time.perf_counter() - t0, 3)
 
@@ -480,6 +505,12 @@ def run_crawl(
             fresh = discovered.join(known, "url_key", "left_anti")
             next_frontier = next_frontier.unionByName(fresh.select(*FRONTIER_COLS))
 
+        if cfg.discover_sitemaps:
+            disc = _discovered_sitemap_rows(extracted, now)
+            known = seen_df.select("url_key").unionByName(next_frontier.select("url_key")).unionByName(fetched_keys)
+            fresh = disc.join(known, "url_key", "left_anti")
+            next_frontier = next_frontier.unionByName(fresh.select(*FRONTIER_COLS))
+
         # 8c. pages out — per-round DELTA, never a cumulative rewrite
         page_rows = extracted.select(
             "url", "url_key", "host", "depth", "round", "host_rank", "slot_ts", "fetch_ts",
@@ -645,6 +676,82 @@ def _expand_links(extracted: DataFrame, cfg: CrawlConfig, now: float) -> DataFra
             "url_key",
             host_col(F.col("url")).alias("host"),
             F.col("depth").cast(IntegerType()),
+            F.col("score").cast(DoubleType()),
+            F.lit("pending").alias("status"),
+            F.lit(0).cast(IntegerType()).alias("attempt"),
+            F.lit(now).cast(DoubleType()).alias("not_before"),
+            F.lit(None).cast(LongType()).alias("seed_index"),
+            F.lit(now).cast(DoubleType()).alias("discovered_ts"),
+        )
+    )
+
+
+def _robots_seed_rows(frontier: DataFrame) -> DataFrame:
+    """One /robots.txt frontier row per distinct seed host (scheme taken
+    deterministically as the min over that host's seeds), minus any the
+    seed list already contains.  seed_index NULL like link-discovered
+    rows; ROBOTS_FETCH_SCORE makes the politeness ranker fetch it before
+    the host's content seeds."""
+    robots = (
+        frontier.select("host", F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("scheme"))
+        .groupBy("host")
+        .agg(F.min("scheme").alias("scheme"))
+        .select(F.concat("scheme", F.lit("://"), F.col("host"), F.lit("/robots.txt")).alias("url"))
+    )
+    robots = robots.withColumn("url_key", surt_key_udf("url")).filter(F.col("url_key").isNotNull())
+    robots = robots.join(frontier.select("url_key"), "url_key", "left_anti")
+    return robots.select(
+        "url",
+        "url_key",
+        host_col(F.col("url")).alias("host"),
+        F.lit(0).cast(IntegerType()).alias("depth"),
+        F.lit(ROBOTS_FETCH_SCORE).cast(DoubleType()).alias("score"),
+        F.lit("pending").alias("status"),
+        F.lit(0).cast(IntegerType()).alias("attempt"),
+        F.lit(0.0).cast(DoubleType()).alias("not_before"),
+        F.lit(None).cast(LongType()).alias("seed_index"),
+        F.lit(0.0).cast(DoubleType()).alias("discovered_ts"),
+    )
+
+
+def _discovered_sitemap_rows(extracted: DataFrame, now: float) -> DataFrame:
+    """This round's fetched robots/sitemap bodies → new frontier rows.
+
+    A native prefilter (URL shape or an XML-ish byte prefix) keeps the
+    Arrow-batched parse off ordinary HTML: at scale the pass touches
+    per-host dim pages, never the corpus.  Gzipped sitemaps are caught by
+    the URL pattern (their bytes sniff as binary); parse_sitemap gunzips.
+    Duplicate advertisements max-merge their scores map-side before the
+    canonicalize UDF — the link-expansion lesson (dedup raw THEN key)."""
+    from frontier_engine import sitemaps as sitemaps_mod
+
+    prefix = F.substring(F.col("html").cast("string"), 1, 256)
+    likely = extracted.filter(
+        F.col("url").rlike(r"^https?://[^/]+/robots\.txt(\?.*)?$")
+        | F.lower(F.col("url")).rlike(r"sitemap[^/]*\.xml(\.gz)?(\?.*)?$")
+        | prefix.contains("<?xml")
+        | prefix.contains("<urlset")
+        | prefix.contains("<sitemapindex")
+    ).select("url", "html")
+    disc = sitemaps_mod.discovered_from_pages(likely)
+    score = F.when(F.col("kind") == "sitemap", F.lit(SITEMAP_FETCH_SCORE)).otherwise(
+        F.coalesce(F.col("priority"), F.lit(SITEMAP_DEFAULT_PRIORITY))
+    )
+    links = (
+        disc.select(F.col("loc").alias("url"), score.alias("score"))
+        .filter(valid_url_col(F.col("url")))
+        .groupBy("url")
+        .agg(F.max("score").alias("score"))
+    )
+    links = links.withColumn("url_key", surt_key_udf("url")).filter(F.col("url_key").isNotNull())
+    return (
+        links.groupBy("url_key")
+        .agg(F.min_by("url", "url").alias("url"), F.max("score").alias("score"))
+        .select(
+            "url",
+            "url_key",
+            host_col(F.col("url")).alias("host"),
+            F.lit(0).cast(IntegerType()).alias("depth"),
             F.col("score").cast(DoubleType()),
             F.lit("pending").alias("status"),
             F.lit(0).cast(IntegerType()).alias("attempt"),

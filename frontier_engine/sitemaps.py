@@ -145,6 +145,60 @@ def child_sitemaps(df: DataFrame, url_col: str = "sitemap_url", bytes_col: str =
     )
 
 
+DISCOVERY_SCHEMA = "loc string, priority double, kind string"
+
+
+def discovered_from_pages(
+    pages: DataFrame, url_col: str = "url", bytes_col: str = "html"
+) -> DataFrame:
+    """Mid-crawl discovery (``run_crawl(discover_sitemaps=True)``): fetched
+    robots.txt bodies yield their ``Sitemap:`` directives and fetched
+    sitemap XML yields child sitemaps / urlset entries — the production
+    discovery chain (robots → sitemapindex → urlset → pages) running
+    INSIDE the crawl loop instead of via a CLI side door.
+
+    Output rows (``DISCOVERY_SCHEMA``): ``kind='sitemap'`` for a sitemap
+    URL to fetch next (from a robots directive or an index file, priority
+    NULL), ``kind='page'`` for a content URL from a urlset (priority = the
+    declared value or NULL).  Rows whose body is neither a robots file
+    (recognized by URL path) nor parseable sitemap XML yield nothing —
+    the skip-and-continue posture; a prefilter upstream (run_crawl) keeps
+    ordinary HTML out of this Arrow-batched pass, so at scale the UDF
+    touches per-host-sized dim pages, never the corpus."""
+    robots_re = re.compile(r"^https?://[^/]+/robots\.txt(\?.*)?$", re.I)
+
+    def gen(batches):
+        for pdf in batches:
+            locs, prios, kinds = [], [], []
+            for u, blob in zip(pdf[url_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                if robots_re.match(u or ""):
+                    body = bytes(blob).decode("utf-8", errors="replace")
+                    for sm in sitemaps_from_robots(body):
+                        locs.append(sm)
+                        prios.append(None)
+                        kinds.append("sitemap")
+                    continue
+                parsed = parse_sitemap(bytes(blob))
+                for child in parsed["sitemaps"]:
+                    locs.append(child)
+                    prios.append(None)
+                    kinds.append("sitemap")
+                for r in parsed["urls"]:
+                    locs.append(r["loc"])
+                    prios.append(r["priority"])
+                    kinds.append("page")
+            if locs:
+                out = pd.DataFrame({"loc": locs, "priority": prios, "kind": kinds})
+                out["priority"] = out["priority"].astype("float64")
+                yield out
+
+    return pages.select(F.col(url_col).alias(url_col), F.col(bytes_col).alias(bytes_col)).mapInPandas(
+        gen, DISCOVERY_SCHEMA
+    )
+
+
 def seed_scores_from_sitemaps(urls: DataFrame, default_priority: float = 0.5) -> DataFrame:
     """Sitemap url rows → a ``(url_key, score)`` priority table for
     ``run_crawl(seed_scores=...)``: score = sitemap ``priority`` (spec

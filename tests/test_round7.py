@@ -102,6 +102,96 @@ def test_trap_gate_frees_quota_slots(spark, trap_corpus):
     )
 
 
+SM_HOST = "site.example.com"
+
+
+def _sm(path: str) -> str:
+    return f"https://{SM_HOST}{path}"
+
+
+_ROBOTS_BODY = (
+    "User-agent: *\nDisallow: /private\n"
+    f"Sitemap: {_sm('/sitemap-index.xml')}\n"
+)
+_INDEX_XML = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    f"<sitemap><loc>{_sm('/sitemap-a.xml')}</loc></sitemap>"
+    "</sitemapindex>"
+)
+_URLSET_XML = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    f"<url><loc>{_sm('/hidden/high')}</loc><priority>0.9</priority></url>"
+    f"<url><loc>{_sm('/hidden/low')}</loc><priority>0.2</priority></url>"
+    f"<url><loc>{_sm('/home')}</loc></url>"
+    "</urlset>"
+)
+
+
+@pytest.fixture(scope="module")
+def sitemap_corpus(spark):
+    def raw(url, body):
+        return {"url": url, "warc_ts": None, "html": body.encode(), "text": None, "lang": None}
+
+    rows = [
+        raw(_sm("/robots.txt"), _ROBOTS_BODY),
+        raw(_sm("/sitemap-index.xml"), _INDEX_XML),
+        raw(_sm("/sitemap-a.xml"), _URLSET_XML),
+        _page(_sm("/start")),
+        _page(_sm("/hidden/high")),
+        _page(_sm("/hidden/low")),
+        _page(_sm("/home")),
+    ]
+    return spark.createDataFrame(rows, schema=PAGES).cache()
+
+
+def test_sitemap_discovery_mid_crawl(spark, sitemap_corpus):
+    """The full production chain inside run_crawl: auto-enqueued robots.txt
+    → Sitemap: directive → sitemapindex → urlset → content pages.  Under
+    quota-1 the fetch sequence is fully determined by the discovery
+    scores (robots 2.0 > sitemaps 1.5 > seed 1.0 > urlset priorities
+    0.9/0.5/0.2), so the exact order IS the assertion: the hidden pages —
+    reachable ONLY via the discovered sitemap — arrive in priority order."""
+    from frontier_engine.frontier import fetch_order
+
+    res = run_crawl(
+        spark,
+        sitemap_corpus,
+        [_sm("/start")],
+        CrawlConfig(
+            round_seconds=1e9,
+            max_rounds=12,
+            max_per_host_per_round=1,
+            n_partitions=4,
+            discover_sitemaps=True,
+        ),
+    )
+    order = [r["url"] for r in fetch_order(res.pages).collect()]
+    assert order == [
+        _sm("/robots.txt"),
+        _sm("/sitemap-index.xml"),
+        _sm("/sitemap-a.xml"),
+        _sm("/start"),
+        _sm("/hidden/high"),
+        _sm("/home"),
+        _sm("/hidden/low"),
+    ]
+    assert res.frontier.filter(F.col("status").isin("pending", "retry")).count() == 0
+
+
+def test_sitemap_discovery_off_by_default(spark, sitemap_corpus):
+    """Without the flag, only the explicit seed is fetched — sitemap-only
+    URLs stay invisible and no robots row is injected (P8 parity)."""
+    res = run_crawl(
+        spark,
+        sitemap_corpus,
+        [_sm("/start")],
+        CrawlConfig(round_seconds=1e9, max_rounds=5, n_partitions=4),
+    )
+    assert [r["url"] for r in res.pages.select("url").collect()] == [_sm("/start")]
+
+
 def test_trap_gate_noop_table_is_byte_identical(spark, trap_corpus):
     """A trap table that flags NOTHING must leave the crawl byte-identical
     to the no-table run — the gate's join machinery may not perturb fetch
