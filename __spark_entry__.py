@@ -879,6 +879,42 @@ def q_anchor_rollup(spark, sf):
     return textops.anchor_text_rollup(links)
 
 
+def q_anchor_rollup_pages(spark, sf):
+    """Anchor rollup composed over REAL extraction (VERDICT r6 #6):
+    synthesize one HTML page per document whose <a> tags encode the same
+    derived link graph as anchor_rollup/pagerank (dst = h60(doc_id#k) % N,
+    k∈{1,2,3}; anchor text 'go {doc_id%10} {k}' — mod 10 so distinct-anchor
+    counts are non-trivial), run the actual extraction chain
+    (with_extractions → links structs → surt-canonicalized targets,
+    textops.anchor_rollup_from_pages), and roll up per target.  The oracle
+    regenerates the rollup from the synthesis RULE, never parsing HTML —
+    any drift in the HTML parser, anchor-text strip, href resolution, or
+    surt canonicalization breaks the hash match, which is what finally
+    gives the extraction stage itself a driver-checkable oracle."""
+    from frontier_engine.extract import with_extractions
+
+    d = _t(spark, sf, "documents")
+    n = d.count()
+    parts = []
+    for kk in (1, 2, 3):
+        dst = textops._h60(F.concat_ws("#", F.col("doc_id"), F.lit(kk))) % n
+        parts.append(
+            F.concat(
+                F.lit('<a href="http://site.example/d/'),
+                dst.cast("string"),
+                F.lit('">go '),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit(f" {kk}</a>"),
+            )
+        )
+    html = F.concat(F.lit("<html><body>"), *parts, F.lit("</body></html>"))
+    pages = d.select(
+        F.concat(F.lit("http://src.example/p/"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return textops.anchor_rollup_from_pages(with_extractions(pages))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -897,6 +933,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     driver sweeps (regex_extract, content_hash, humanize_size).
     #   * NEVER append a new op past position 50.
     return {
+        # --- r7-new op: first driver row needed ---
+        "anchor_rollup_pages": q_anchor_rollup_pages,
+        # --- ROTATED BACK into the sweep window (VERDICT r6 #5): the
+        # twelve scalar/filter queries displaced in r6 (last driver rows
+        # r5) take the slots of thirteen multiply-verified stable queries
+        # (green r1-r6 / r2-r6, see PAST_CAP_ALLOWED citations) so no
+        # query goes many rounds without a fresh driver row ---
+        "filter_equals": q_filter_equals,
+        "union_distinct": q_union_distinct,
+        "json_extract": q_json_extract,
+        "hourly_counts": q_hourly_counts,
+        "date_arithmetic": q_date_arithmetic,
+        "except_keys": q_except_keys,
+        "clean_text": q_clean_text,
+        "filter_contains": q_filter_contains,
+        "filter_range": q_filter_range,
+        "regex_extract": q_regex_extract,
+        "content_hash": q_content_hash,
+        "humanize_size": q_humanize_size,
         # --- r5-added queries, crosscheck-green but driver-unverified in
         # r4/r5 because they were registered past the 50-entry cap; front
         # of dict so CORRECTNESS_r6 records them (VERDICT r5 #1) ---
@@ -918,19 +973,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_rollup": q_anchor_rollup,
         # --- stable, driver-green surface ---
         "pricing_summary": q_pricing_summary,
-        "sort_topn": q_sort_topn,
-        "dedup_keep_first": q_dedup_keep_first,
-        "anti_join_unseen": q_anti_join_unseen,
-        "broadcast_join_rollup": q_broadcast_join_rollup,
-        "agg_events_by_type": q_agg_events_by_type,
-        "topk_per_group": q_topk_per_group,
-        "sessionize": q_sessionize,
-        "rollup_revenue": q_rollup_revenue,
-        "intersect_keys": q_intersect_keys,
-        "data_url_source": q_data_url_source,
-        "flatten_export": q_flatten_export,
-        "size_cap": q_size_cap,
-        "pipeline_ops": q_pipeline_ops,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
@@ -957,26 +999,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_cosine_lsh / ann_cosine_ivf / cardinality_sketch are
         # oracle-less by design (recall contracts in RECALL.json +
         # tests/test_ann.py; HLL error-bound + merge-identity pytest); the
-        # scalar/filter queries below each have green driver rows in EVERY
-        # sweep CORRECTNESS_r01-r05 (verified against the artifacts:
-        # clean_text, filter_contains, filter_range, except_keys,
-        # date_arithmetic, hourly_counts, json_extract, filter_equals,
-        # union_distinct, regex_extract, content_hash, humanize_size) ---
+        # stable queries below were displaced in r7 to rotate the twelve
+        # r6-displaced scalars back through the window — each has green
+        # driver rows in EVERY sweep since registration (r01-r06 /
+        # r02-r06, verified against the artifacts; citations in
+        # tests/test_round6.py::PAST_CAP_ALLOWED) ---
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
         "cardinality_sketch": q_cardinality_sketch,
-        "regex_extract": q_regex_extract,
-        "content_hash": q_content_hash,
-        "humanize_size": q_humanize_size,
-        "filter_contains": q_filter_contains,
-        "filter_range": q_filter_range,
-        "clean_text": q_clean_text,
-        "except_keys": q_except_keys,
-        "date_arithmetic": q_date_arithmetic,
-        "hourly_counts": q_hourly_counts,
-        "json_extract": q_json_extract,
-        "filter_equals": q_filter_equals,
-        "union_distinct": q_union_distinct,
+        "sort_topn": q_sort_topn,
+        "dedup_keep_first": q_dedup_keep_first,
+        "anti_join_unseen": q_anti_join_unseen,
+        "broadcast_join_rollup": q_broadcast_join_rollup,
+        "agg_events_by_type": q_agg_events_by_type,
+        "topk_per_group": q_topk_per_group,
+        "sessionize": q_sessionize,
+        "rollup_revenue": q_rollup_revenue,
+        "intersect_keys": q_intersect_keys,
+        "data_url_source": q_data_url_source,
+        "flatten_export": q_flatten_export,
+        "size_cap": q_size_cap,
+        "pipeline_ops": q_pipeline_ops,
     }
 
 
@@ -1626,6 +1669,26 @@ def oracle_sql() -> dict[str, str]:
             " octet_length(encode(text))::bigint AS n_bytes,"
             " md5(text) AS text_md5 "
             "FROM documents"
+        ),
+        "anchor_rollup_pages": (
+            # mirrors q_anchor_rollup_pages' SYNTHESIS RULE, never parsing
+            # HTML: the Spark side routes the same links through the real
+            # extraction UDFs + surt canonicalization, so a hash match
+            # certifies that whole chain.  'example,site)' is the SURT of
+            # the controlled target host site.example.
+            "WITH t AS (SELECT doc_id FROM documents),"
+            " nn AS (SELECT count(*)::bigint AS n FROM t),"
+            " l AS (SELECT 'http://src.example/p/' || doc_id::varchar AS src, "
+            + _H60.format(x="doc_id::varchar || '#' || kk::varchar")
+            + " % nn.n AS dstid,"
+            "   'go ' || (doc_id % 10)::varchar || ' ' || kk::varchar AS anchor"
+            "   FROM t CROSS JOIN nn CROSS JOIN (VALUES (1),(2),(3)) ks(kk))"
+            "SELECT 'example,site)/d/' || dstid::varchar AS dst,"
+            " count(*)::bigint AS n_anchors,"
+            " count(DISTINCT src)::bigint AS n_srcs,"
+            " count(DISTINCT anchor)::bigint AS n_unique_anchors,"
+            " min(anchor) AS top_anchor "
+            "FROM l GROUP BY dst"
         ),
         "anchor_rollup": (
             # same derived edge list as pagerank's oracle; anchor = 24-char

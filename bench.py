@@ -310,6 +310,11 @@ def main():
                 streamingmod.stream_cardinality(
                     spark, sdocs_dir, s_schema, group_col="grp", value_col="doc_id",
                 ), "append"),
+            # windowed per-host integer quality rollup (twin of
+            # host_quality_stats): complete mode so open windows count too
+            "stream_host_quality": lambda: (
+                streamingmod.stream_host_quality(spark, sdocs_dir, s_schema),
+                "complete"),
         }
         for sname, build in builders.items():
             sdf, mode = build()

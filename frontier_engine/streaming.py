@@ -307,6 +307,55 @@ def stream_cardinality(
     )
 
 
+def stream_host_quality(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed per-host quality rollup on a document stream — the
+    streaming twin of textops.host_quality_stats (the RefinedWeb/C4-style
+    host gate's stats side), closing the only major op family without an
+    ingest-time twin.
+
+    Per (event-time window, source host): doc count, quality_permille sum,
+    and the same floor(sum/count) integer mean as batch — exact longs end
+    to end, so stream==batch is BIT identity (unlike the HLL twin, whose
+    contract is an error bound).  State is one 3-long aggregate per open
+    (window, host) — bounded by windows-in-watermark × hosts, never by
+    document count, and partial (map-side) aggregation applies per
+    micro-batch exactly as it does in batch.  A downstream consumer gates
+    docs by broadcast-joining these MB-scale rows back, same as batch
+    host_quality_filter; at 100 TB the rollup keeps up at ingest instead
+    of rescanning the corpus nightly.
+    """
+    from frontier_engine.textops import quality_columns
+
+    sdf = spark.readStream.schema(schema).parquet(docs_dir)
+    sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        sdf.select(ts_col, "source", *quality_columns())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "source")
+        .agg(
+            F.count(F.lit(1)).alias("host_docs"),
+            F.sum("quality_permille").alias("host_quality_sum"),
+            F.floor(F.sum("quality_permille") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("host_mean_quality"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "source",
+            "host_docs",
+            "host_quality_sum",
+            "host_mean_quality",
+        )
+    )
+
+
 def stream_text_signals(spark: SparkSession, docs_dir: str, schema) -> DataFrame:
     """Text-quality + PII signals over a document STREAM.
 

@@ -30,23 +30,25 @@ PAST_CAP_ALLOWED = {
     # sketch estimates are implementation-specific (DataSketches HLL vs
     # DuckDB's HLL) — contract = pytest error-bound + merge-identity.
     "cardinality_sketch": "oracle-less; pytest HLL error-bound + merge tests",
-    # trivial scalar/filter queries with green driver rows in EVERY prior
-    # sweep, displaced to make window room for r6's bm25_topk + pagerank.
-    "regex_extract": "green CORRECTNESS_r01-r05",
-    "content_hash": "green CORRECTNESS_r01-r05",
-    "humanize_size": "green CORRECTNESS_r01-r05",
-    "filter_contains": "green CORRECTNESS_r01-r05",
-    "filter_range": "green CORRECTNESS_r01-r05",
-    "clean_text": "green CORRECTNESS_r01-r05",
-    # displaced to make window room for r6's host_quality_filter /
-    # dedup_incremental / trap_detection / corpus_stats.
-    "except_keys": "green CORRECTNESS_r01-r05",
-    "date_arithmetic": "green CORRECTNESS_r01-r05",
-    "hourly_counts": "green CORRECTNESS_r01-r05",
-    # displaced to make window room for r6's warc_roundtrip / anchor_rollup.
-    "filter_equals": "green CORRECTNESS_r01-r05",
-    "union_distinct": "green CORRECTNESS_r01-r05",
-    "json_extract": "green CORRECTNESS_r01-r05",
+    # stable queries displaced in r7 (VERDICT r6 #5 rotation: the twelve
+    # scalars displaced in r6 rotated BACK into the window, these took
+    # their past-cap seats).  Citations verified against the artifacts:
+    # each was green in EVERY driver sweep since its registration round.
+    "sort_topn": "green CORRECTNESS_r01-r06",
+    "dedup_keep_first": "green CORRECTNESS_r01-r06",
+    "anti_join_unseen": "green CORRECTNESS_r01-r06",
+    "broadcast_join_rollup": "green CORRECTNESS_r01-r06",
+    "agg_events_by_type": "green CORRECTNESS_r01-r06",
+    "topk_per_group": "green CORRECTNESS_r01-r06",
+    "rollup_revenue": "green CORRECTNESS_r01-r06",
+    "intersect_keys": "green CORRECTNESS_r01-r06",
+    # registered r2 (sessionize's r1 row was the oracle-cast fix, green
+    # from r2 on; the other four first appeared in the r2 registry).
+    "sessionize": "green CORRECTNESS_r02-r06",
+    "data_url_source": "green CORRECTNESS_r02-r06",
+    "flatten_export": "green CORRECTNESS_r02-r06",
+    "size_cap": "green CORRECTNESS_r02-r06",
+    "pipeline_ops": "green CORRECTNESS_r02-r06",
 }
 
 

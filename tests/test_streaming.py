@@ -248,3 +248,98 @@ def test_stream_cardinality_matches_exact_within_bound(spark, events_dir, tmp_pa
     for k, approx in got.items():
         exact = want[k]
         assert abs(approx - exact) <= max(1, int(0.03 * exact)), (k, approx, exact)
+
+
+def _host_quality_batch(docs):
+    """The batch side of the stream==batch identity: same window, same
+    integer expressions as textops.host_quality_stats, per event-hour."""
+    from frontier_engine import textops
+
+    return (
+        docs.select("ts", "source", *textops.quality_columns())
+        .groupBy(F.window("ts", "1 hour").alias("w"), "source")
+        .agg(
+            F.count(F.lit(1)).alias("host_docs"),
+            F.sum("quality_permille").alias("host_quality_sum"),
+            F.floor(F.sum("quality_permille") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("host_mean_quality"),
+        )
+    )
+
+
+def _hq_rows(rows):
+    return {
+        (r["window_start"], r["source"]): (
+            r["host_docs"],
+            r["host_quality_sum"],
+            r["host_mean_quality"],
+        )
+        for r in rows
+    }
+
+
+def test_stream_host_quality_matches_batch(spark, tmp_path):
+    """Windowed per-host quality rollup (streaming twin of
+    host_quality_stats): exact longs end to end, so stream==batch is BIT
+    identity across EVERY (window, host) cell — complete mode surfaces
+    open windows too."""
+    docs_dir = str(tmp_path / "docs")
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).withColumn(
+        "ts",
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, (doc_id % 7) * 1800)"),
+    )
+    docs.write.parquet(docs_dir)
+    sdf = streaming.stream_host_quality(spark, docs_dir, spark.read.parquet(docs_dir).schema)
+    assert sdf.isStreaming
+    streaming.run_to_memory(sdf, "hq_s", str(tmp_path / "ck"), output_mode="complete")
+    got = _hq_rows(spark.table("hq_s").collect())
+    want = _hq_rows(
+        _host_quality_batch(docs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "source",
+            "host_docs",
+            "host_quality_sum",
+            "host_mean_quality",
+        )
+        .collect()
+    )
+    assert got and got == want
+
+
+def test_stream_host_quality_append_resume(spark, tmp_path):
+    """Append mode + checkpoint resume: a first availableNow run lands
+    hour-0 docs (window still open → nothing emitted), a second run lands
+    hour-5 docs whose watermark closes hour 0 — the emitted rows must be
+    the batch-exact hour-0 cells, exactly once."""
+    docs_dir = str(tmp_path / "docs")
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    base = spark.read.parquet(os.path.join(SF, "documents.parquet")).limit(60)
+    chunk1 = base.withColumn(
+        "ts",
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, doc_id % 1800)"),
+    )
+    chunk1.write.parquet(docs_dir)
+    schema = spark.read.parquet(docs_dir).schema
+    streaming.run_to_parquet(streaming.stream_host_quality(spark, docs_dir, schema), out_dir, ck)
+
+    chunk2 = base.withColumn("doc_id", F.col("doc_id") + 1000000).withColumn(
+        "ts", F.expr("timestamp'2024-01-01 05:00:00' + make_interval(0,0,0,0,0,0, doc_id % 60)")
+    )
+    chunk2.write.mode("append").parquet(docs_dir)
+    streaming.run_to_parquet(streaming.stream_host_quality(spark, docs_dir, schema), out_dir, ck)
+
+    got = _hq_rows(spark.read.parquet(out_dir).collect())
+    want = _hq_rows(
+        _host_quality_batch(chunk1)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "source",
+            "host_docs",
+            "host_quality_sum",
+            "host_mean_quality",
+        )
+        .collect()
+    )
+    assert got and got == want
