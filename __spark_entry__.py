@@ -454,6 +454,10 @@ def q_quality_score(spark, sf):
     return textops.quality_score(_t(spark, sf, "documents"))
 
 
+def q_quality_classifier(spark, sf):
+    return textops.quality_classifier(_t(spark, sf, "documents"))
+
+
 def q_token_counts(spark, sf):
     return textops.token_counts(_t(spark, sf, "documents"))
 
@@ -933,8 +937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     driver sweeps (regex_extract, content_hash, humanize_size).
     #   * NEVER append a new op past position 50.
     return {
-        # --- r7-new op: first driver row needed ---
+        # --- r7-new ops: first driver rows needed ---
         "anchor_rollup_pages": q_anchor_rollup_pages,
+        "quality_classifier": q_quality_classifier,
         # --- ROTATED BACK into the sweep window (VERDICT r6 #5): the
         # twelve scalar/filter queries displaced in r6 (last driver rows
         # r5) take the slots of thirteen multiply-verified stable queries
@@ -982,7 +987,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
         "dedup_embedding": q_dedup_embedding,
-        "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1007,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
         "cardinality_sketch": q_cardinality_sketch,
+        "lang_id": q_lang_id,
         "sort_topn": q_sort_topn,
         "dedup_keep_first": q_dedup_keep_first,
         "anti_join_unseen": q_anti_join_unseen,
@@ -1417,6 +1422,28 @@ def oracle_sql() -> dict[str, str]:
             " ((least(n_tokens, 100) * 40 + round(stopword_ratio * 10000)::bigint * 3"
             "   + round(alpha_ratio * 10000)::bigint * 3) // 10)::bigint AS quality_permille "
             "FROM f"
+        ),
+        "quality_classifier": (
+            # mirrors textops.quality_classifier: per-token h60 mod P,
+            # unigram weight = h60('w#'||h) mod 2001 - 1000, bigram hash =
+            # the width-2 rolling fold, same weight lookup; integer sums,
+            # one exact-integer IEEE division under floor (host-mean rule)
+            "WITH t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents),"
+            " hx AS (SELECT doc_id, list_transform(toks, tk -> "
+            + _H60.format(x="tk") + f" % {_MH_P}) AS hs FROM t),"
+            " fw AS (SELECT doc_id,"
+            "   list_transform(hs, h -> "
+            + _H60.format(x="'w#' || h::varchar") + " % 2001 - 1000) AS uw,"
+            "   CASE WHEN len(hs) >= 2 THEN"
+            "     list_transform(generate_series(1, len(hs) - 1), i -> "
+            + _H60.format(x=f"'w#' || ((hs[i] * {_MH_B} + hs[i+1]) % {_MH_P})::varchar")
+            + " % 2001 - 1000)"
+            "   ELSE [] END AS bw FROM hx)"
+            "SELECT doc_id, (len(uw) + len(bw))::bigint AS n_features,"
+            " floor((coalesce(list_sum(uw), 0) + coalesce(list_sum(bw), 0)"
+            "   + 1000 * (len(uw) + len(bw)))::double"
+            "  / (2 * (len(uw) + len(bw)))::double)::bigint AS score_permille "
+            "FROM fw"
         ),
         "token_counts": (
             "SELECT doc_id, len(" + _TOKS_RAW + ") AS ws_tokens,"

@@ -57,6 +57,8 @@ def cmd_crawl(args) -> int:
         honor_robots=args.robots,
         checkpoint_dir=args.checkpoint_dir,
         n_partitions=args.cpus or 32,
+        discover_sitemaps=args.discover_sitemaps,
+        learn_robots_policy=args.learn_robots,
     )
     res = run_crawl(spark, corpus, seeds, cfg, host_policy=policy, seed_scores=seed_scores)
     if args.out:
@@ -163,6 +165,16 @@ def main(argv=None) -> int:
         "--sitemap-dir",
         default=None,
         help="dir of fetched sitemap XML (.xml/.xml.gz); priorities order the frontier",
+    )
+    c.add_argument(
+        "--discover-sitemaps",
+        action="store_true",
+        help="mid-crawl discovery: fetch robots.txt, follow Sitemap: directives, enqueue urlset entries at their priorities",
+    )
+    c.add_argument(
+        "--learn-robots",
+        action="store_true",
+        help="fold fetched robots.txt Disallow rules + Crawl-delay into the live host policy (rules act with --robots)",
     )
     c.set_defaults(fn=cmd_crawl)
 

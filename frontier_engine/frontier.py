@@ -90,6 +90,17 @@ class CrawlConfig:
     # Orthogonal to max_depth: sitemap entries are seed advertisements,
     # not link discovery.  Default off ⇒ byte-identical parity (P8).
     discover_sitemaps: bool = False
+    # mid-crawl robots POLICY learning (the sibling of discover_sitemaps):
+    # auto-enqueue each seed host's /robots.txt, parse fetched bodies with
+    # politeness.parse_robots_policy every round, and merge the learned
+    # (robots_rules, crawl_delay) rows into the working host policy —
+    # fresher rows replace a passed-in host_policy row for that host.
+    # Learned crawl_delay reshapes that host's quota from the NEXT round;
+    # learned Disallow rules act only when honor_robots=True (P7).  The
+    # learned table is NOT snapshotted: a resumed crawl won't re-fetch
+    # robots.txt (seen gate), so pass the prior policy via host_policy= on
+    # resume.  Default off ⇒ byte-identical parity (P8).
+    learn_robots_policy: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -101,6 +112,7 @@ class CrawlConfig:
 ROBOTS_FETCH_SCORE = 2.0
 SITEMAP_FETCH_SCORE = 1.5
 SITEMAP_DEFAULT_PRIORITY = 0.5
+ROBOTS_URL_RE = r"^https?://[^/]+/robots\.txt(\?.*)?$"
 
 
 FRONTIER_COLS = [
@@ -282,7 +294,7 @@ def run_crawl(
         frontier = seeds_to_frontier(spark, seed_urls)
         if seed_scores is not None:
             frontier = with_priority(frontier, seed_scores)
-        if cfg.discover_sitemaps:
+        if cfg.discover_sitemaps or cfg.learn_robots_policy:
             # AFTER with_priority: robots rows keep ROBOTS_FETCH_SCORE
             # rather than being rescored like seeds.  Fresh starts only —
             # a resumed frontier already carries (or has drained) them.
@@ -322,6 +334,10 @@ def run_crawl(
     # first use), then per-round OR-merge of the new_seen delta — O(delta)
     # per round instead of O(total seen), the 10^10-regime requirement
     bloom_shards: DataFrame | None = None
+
+    # working host policy: starts at the caller's table, grows mid-crawl
+    # when learn_robots_policy folds in fetched robots.txt (fresher wins)
+    policy = host_policy
 
     for round_no in range(start_round, cfg.max_rounds):
         seen_df = seen_view()
@@ -388,7 +404,7 @@ def run_crawl(
         # that job's dominant cost (~3s/round at bench scale).  One persist
         # materializes the probe + policy join once; rank/quota, blocked
         # keys and not_selected all read the cache.
-        cand = join_host_policy(unseen, host_policy)
+        cand = join_host_policy(unseen, policy)
         excl_flags = []
         if cfg.honor_robots:
             cand = cand.withColumn("__robots_blocked", robots_blocked_col())
@@ -510,6 +526,26 @@ def run_crawl(
             known = seen_df.select("url_key").unionByName(next_frontier.select("url_key")).unionByName(fetched_keys)
             fresh = disc.join(known, "url_key", "left_anti")
             next_frontier = next_frontier.unionByName(fresh.select(*FRONTIER_COLS))
+
+        if cfg.learn_robots_policy:
+            # per-host dim rows (a robots.txt body per host, once — the
+            # seen gate prevents refetch); localCheckpoint materializes
+            # the parse so the count probe and every later round's
+            # policy join reuse it instead of replaying the UDF
+            learned = _learned_robots_policy(extracted).localCheckpoint(eager=True)
+            if learned.count() > 0:
+                if policy is None:
+                    policy = learned
+                else:
+                    # fresher wins: a learned row replaces the caller's
+                    # (or an earlier round's) row for that host
+                    # allowMissingColumns: a caller's policy table missing
+                    # a column contributes nulls, which join_host_policy's
+                    # fillna resolves to the defaults
+                    policy = learned.unionByName(
+                        policy.join(learned.select("host"), "host", "left_anti"),
+                        allowMissingColumns=True,
+                    ).localCheckpoint(eager=True)
 
         # 8c. pages out — per-round DELTA, never a cumulative rewrite
         page_rows = extracted.select(
@@ -727,7 +763,7 @@ def _discovered_sitemap_rows(extracted: DataFrame, now: float) -> DataFrame:
 
     prefix = F.substring(F.col("html").cast("string"), 1, 256)
     likely = extracted.filter(
-        F.col("url").rlike(r"^https?://[^/]+/robots\.txt(\?.*)?$")
+        F.col("url").rlike(ROBOTS_URL_RE)
         | F.lower(F.col("url")).rlike(r"sitemap[^/]*\.xml(\.gz)?(\?.*)?$")
         | prefix.contains("<?xml")
         | prefix.contains("<urlset")
@@ -760,6 +796,20 @@ def _discovered_sitemap_rows(extracted: DataFrame, now: float) -> DataFrame:
             F.lit(now).cast(DoubleType()).alias("discovered_ts"),
         )
     )
+
+
+def _learned_robots_policy(extracted: DataFrame) -> DataFrame:
+    """This round's fetched /robots.txt bodies → host_policy rows via the
+    standard group parse (politeness.parse_robots_policy).  Per-host dim
+    rows: at most one robots.txt per host ever reaches this (the seen gate
+    blocks refetch), so the Arrow-batched parse touches KBs, never the
+    corpus."""
+    from frontier_engine.politeness import parse_robots_policy
+
+    robots = extracted.filter(F.col("url").rlike(ROBOTS_URL_RE)).select(
+        "host", F.col("html").cast("string").alias("robots_txt")
+    )
+    return parse_robots_policy(robots)
 
 
 def fetch_order(pages: DataFrame) -> DataFrame:

@@ -34,6 +34,8 @@ PAST_CAP_ALLOWED = {
     # scalars displaced in r6 rotated BACK into the window, these took
     # their past-cap seats).  Citations verified against the artifacts:
     # each was green in EVERY driver sweep since its registration round.
+    # displaced in r7 for the new quality_classifier's window slot.
+    "lang_id": "green CORRECTNESS_r01-r06",
     "sort_topn": "green CORRECTNESS_r01-r06",
     "dedup_keep_first": "green CORRECTNESS_r01-r06",
     "anti_join_unseen": "green CORRECTNESS_r01-r06",

@@ -206,3 +206,138 @@ def test_trap_gate_noop_table_is_byte_identical(spark, trap_corpus):
     assert [tuple(r) for r in fetch_order(base.pages).collect()] == [
         tuple(r) for r in fetch_order(gated.pages).collect()
     ]
+
+
+def test_sitemap_discovery_gzip_and_cross_host(spark):
+    """The prefilter's URL branch must catch .xml.gz sitemaps whose BYTES
+    sniff as binary (no '<?xml' prefix), and a robots Sitemap: directive
+    may point at ANOTHER host (common CDN layout) — both paths feed the
+    same frontier.  The gz sitemap carries the only route to /deep."""
+    import gzip
+
+    host2 = "cdn.example.net"
+    robots = f"User-agent: *\nSitemap: https://{host2}/maps/sitemap-1.xml.gz\n"
+    urlset = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        f"<url><loc>https://{SM_HOST}/deep</loc><priority>0.7</priority></url>"
+        "</urlset>"
+    )
+    rows = [
+        {"url": _sm("/robots.txt"), "warc_ts": None, "html": robots.encode(), "text": None, "lang": None},
+        {
+            "url": f"https://{host2}/maps/sitemap-1.xml.gz",
+            "warc_ts": None,
+            "html": gzip.compress(urlset.encode()),
+            "text": None,
+            "lang": None,
+        },
+        _page(_sm("/start")),
+        _page(_sm("/deep")),
+    ]
+    corpus = spark.createDataFrame(rows, schema=PAGES)
+    res = run_crawl(
+        spark,
+        corpus,
+        [_sm("/start")],
+        CrawlConfig(
+            round_seconds=1e9, max_rounds=10, max_per_host_per_round=1,
+            n_partitions=4, discover_sitemaps=True,
+        ),
+    )
+    got = {r["url"] for r in res.pages.select("url").collect()}
+    assert _sm("/deep") in got, got
+    # the cross-host gz sitemap itself was fetched (it lives on host2)
+    assert f"https://{host2}/maps/sitemap-1.xml.gz" in got
+
+
+RB_HOST = "ruled.example.com"
+
+
+def _rb(path: str) -> str:
+    return f"https://{RB_HOST}{path}"
+
+
+@pytest.fixture(scope="module")
+def robots_corpus(spark):
+    robots = "User-agent: *\nDisallow: /private\nCrawl-delay: 5\n"
+    rows = [
+        {"url": _rb("/robots.txt"), "warc_ts": None, "html": robots.encode(), "text": None, "lang": None},
+        _page(_rb("/public/a")),
+        _page(_rb("/public/b")),
+        _page(_rb("/public/c")),
+        _page(_rb("/public/d")),
+        _page(_rb("/private/secret")),
+    ]
+    return spark.createDataFrame(rows, schema=PAGES).cache()
+
+
+def test_learned_robots_rules_block_next_round(spark, robots_corpus):
+    """learn_robots_policy + honor_robots: the Disallow learned from the
+    corpus-served robots.txt must keep /private out of the crawl — it is
+    seeded explicitly, survives round 0 only because the policy is not
+    yet known, and leaves the frontier permanently once learned.  The
+    loop must still drain."""
+    seeds = [_rb("/private/secret"), _rb("/public/a"), _rb("/public/b")]
+    res = run_crawl(
+        spark,
+        robots_corpus,
+        seeds,
+        CrawlConfig(
+            round_seconds=1e9,
+            max_rounds=10,
+            max_per_host_per_round=1,  # round 0 fetches ONLY robots.txt
+            n_partitions=4,
+            learn_robots_policy=True,
+            honor_robots=True,
+        ),
+    )
+    got = {r["url"] for r in res.pages.select("url").collect()}
+    assert got == {_rb("/robots.txt"), _rb("/public/a"), _rb("/public/b")}
+    assert res.frontier.filter(F.col("status").isin("pending", "retry")).count() == 0
+
+
+def test_learned_crawl_delay_reshapes_quota(spark, robots_corpus):
+    """The learned Crawl-delay: 5 must shrink the host's per-round quota
+    from the NEXT round: round_seconds=10 gives floor(10/3)=3 slots under
+    the default delay (round 0: robots + two pages), then floor(10/5)=2
+    (rounds 1-2).  The per-round fetch counts ARE the assertion."""
+    from collections import Counter
+
+    seeds = [_rb(f"/public/{p}") for p in "abcd"]
+    res = run_crawl(
+        spark,
+        robots_corpus,
+        seeds,
+        CrawlConfig(
+            round_seconds=10.0,
+            max_rounds=10,
+            n_partitions=4,
+            learn_robots_policy=True,
+        ),
+    )
+    per_round = Counter(r["round"] for r in res.pages.select("round").collect())
+    assert per_round == {0: 3, 1: 2}, per_round
+    assert res.pages.count() == 5  # robots + all four pages
+
+
+def test_quality_classifier_map_only_and_order_sensitive(spark):
+    """The hashed linear classifier must be a single map-side projection
+    (no Exchange in the optimized plan — the 100 TB gate shape) and the
+    bigram features must actually contribute: permuting a doc's tokens
+    changes its score (unigrams alone would be permutation-invariant)."""
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = textops.quality_classifier(d)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    rows = {r.doc_id: r for r in out.collect()}
+    # same multiset of tokens, different order → same n_features but
+    # different bigrams, hence different score
+    assert rows[1].n_features == rows[2].n_features == 7
+    assert rows[1].score_permille != rows[2].score_permille
+    # empty text: split('') = [''] on both engines — one unigram feature
+    assert rows[3].n_features == 1
+    assert 0 <= rows[3].score_permille <= 1000

@@ -69,6 +69,12 @@ AUDIT = {
     "trap_detection": {"pushed": False, "broadcast": False},
     "corpus_stats": {"pushed": False, "broadcast": False},
     "anchor_rollup": {"pushed": False, "broadcast": False},
+    # extraction-UDF dominated (with_extractions mapInPandas over the
+    # synthesized HTML) — codegen survives on the scan + rollup sides
+    "anchor_rollup_pages": {"pushed": False, "broadcast": False},
+    # map-only hashed linear scorer: the whole query must be one codegen
+    # projection over the scan — no Exchange anywhere
+    "quality_classifier": {"pushed": False, "broadcast": False},
     # pandas-stage dominated (applyInPandas pack + mapInPandas parse); the
     # audit still verifies codegen on the scan side
     "warc_roundtrip": {"pushed": False, "broadcast": False},
