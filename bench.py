@@ -66,8 +66,10 @@ HEADLINE = [
     "pipeline_ops",
     "lang_id",
     "quality_score",
+    "quality_classifier",
     "token_counts",
     "doc_fingerprint",
+    "anchor_rollup_pages",
 ]
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "20000"))
