@@ -858,7 +858,9 @@ def quality_score(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", *quality_columns())
 
 
-def quality_classifier(docs: DataFrame, half_range: int = 1000) -> DataFrame:
+def quality_classifier(
+    docs: DataFrame, half_range: int = 1000, use_xxhash: bool = False
+) -> DataFrame:
     """fastText-style hashed linear text classifier as pure map-side
     column math — the model-based quality gate of modern pretraining
     pipelines (FineWeb-Edu / DCLM shape: a cheap linear classifier scores
@@ -882,15 +884,21 @@ def quality_classifier(docs: DataFrame, half_range: int = 1000) -> DataFrame:
     bit (the host_quality_stats floor-mean argument).
 
     Scale: zero shuffles, zero UDFs — one whole-stage-codegen projection
-    over the corpus, the cheapest possible gate shape.
+    over the corpus, the cheapest possible gate shape.  The md5-family
+    hashes exist for DuckDB oracle parity, not production:
+    ``use_xxhash=True`` swaps both hash sites for native ``xxhash64``
+    (identical plan shape, no string md5 round-trips — measured 4.9×
+    faster per token, SCALE.md round-7), at the cost of the SQL twin.
     """
     m = 2 * half_range + 1
     toks = tokens_col(F.col("text"))
-    d = docs.select(
-        "doc_id",
-        F.transform(toks, lambda t: _h60(t) % MINHASH_PRIME).alias("hs"),
-    )
-    w = lambda h: _h60(F.concat(F.lit("w#"), h.cast("string"))) % m - half_range  # noqa: E731
+    if use_xxhash:
+        hs_expr = F.transform(toks, lambda t: F.abs(F.xxhash64(t)) % MINHASH_PRIME)
+        w = lambda h: F.abs(F.xxhash64(F.lit("w#"), h)) % m - half_range  # noqa: E731
+    else:
+        hs_expr = F.transform(toks, lambda t: _h60(t) % MINHASH_PRIME)
+        w = lambda h: _h60(F.concat(F.lit("w#"), h.cast("string"))) % m - half_range  # noqa: E731
+    d = docs.select("doc_id", hs_expr.alias("hs"))
     d = d.select(
         "doc_id",
         F.transform(F.col("hs"), w).alias("uw"),

@@ -341,3 +341,26 @@ def test_quality_classifier_map_only_and_order_sensitive(spark):
     # empty text: split('') = [''] on both engines — one unigram feature
     assert rows[3].n_features == 1
     assert 0 <= rows[3].score_permille <= 1000
+
+
+def test_quality_classifier_xxhash_variant(spark):
+    """The production-hash variant (use_xxhash=True, no md5 parity — 4.9×
+    faster per token, SCALE.md): same schema, same feature counts (the
+    tokenization is shared; only the weight values differ), still
+    map-only, and deterministic across invocations."""
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    out = textops.quality_classifier(d, use_xxhash=True)
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    rows = {r.doc_id: r for r in out.collect()}
+    md5_rows = {r.doc_id: r for r in textops.quality_classifier(d).collect()}
+    assert out.columns == ["doc_id", "n_features", "score_permille"]
+    for i in (1, 2):
+        assert rows[i].n_features == md5_rows[i].n_features
+        assert 0 <= rows[i].score_permille <= 1000
+    again = {r.doc_id: r for r in textops.quality_classifier(d, use_xxhash=True).collect()}
+    assert {i: (r.n_features, r.score_permille) for i, r in rows.items()} == {
+        i: (r.n_features, r.score_permille) for i, r in again.items()
+    }
