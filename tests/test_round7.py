@@ -364,3 +364,50 @@ def test_quality_classifier_xxhash_variant(spark):
     assert {i: (r.n_features, r.score_permille) for i, r in rows.items()} == {
         i: (r.n_features, r.score_permille) for i, r in again.items()
     }
+
+
+def test_discovery_and_policy_composed(spark):
+    """All production flags together: the SAME fetched robots.txt both
+    advertises a sitemap (discover_sitemaps) and disallows a prefix
+    (learn_robots_policy + honor_robots).  A sitemap-advertised URL under
+    the disallowed prefix must be discovered-then-blocked; its sibling
+    outside the prefix is fetched.  The two learners share one robots
+    fetch and must not fight."""
+    h = "both.example.com"
+
+    def u(p):
+        return f"https://{h}{p}"
+
+    robots = f"User-agent: *\nDisallow: /secret\nSitemap: {u('/sitemap.xml')}\n"
+    urlset = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        f"<url><loc>{u('/secret/page')}</loc><priority>0.9</priority></url>"
+        f"<url><loc>{u('/open/page')}</loc><priority>0.8</priority></url>"
+        "</urlset>"
+    )
+    rows = [
+        {"url": u("/robots.txt"), "warc_ts": None, "html": robots.encode(), "text": None, "lang": None},
+        {"url": u("/sitemap.xml"), "warc_ts": None, "html": urlset.encode(), "text": None, "lang": None},
+        _page(u("/start")),
+        _page(u("/secret/page")),
+        _page(u("/open/page")),
+    ]
+    corpus = spark.createDataFrame(rows, schema=PAGES)
+    res = run_crawl(
+        spark,
+        corpus,
+        [u("/start")],
+        CrawlConfig(
+            round_seconds=1e9,
+            max_rounds=12,
+            max_per_host_per_round=1,
+            n_partitions=4,
+            discover_sitemaps=True,
+            learn_robots_policy=True,
+            honor_robots=True,
+        ),
+    )
+    got = {r["url"] for r in res.pages.select("url").collect()}
+    assert got == {u("/robots.txt"), u("/sitemap.xml"), u("/start"), u("/open/page")}, got
+    assert res.frontier.filter(F.col("status").isin("pending", "retry")).count() == 0

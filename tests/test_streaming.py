@@ -343,3 +343,23 @@ def test_stream_host_quality_append_resume(spark, tmp_path):
         .collect()
     )
     assert got and got == want
+
+
+def test_stream_quality_classifier_matches_batch(spark, tmp_path):
+    """quality_classifier is a map-only projection, so it must run
+    UNCHANGED on a streaming DataFrame with bit-identical output — the
+    stream_text_signals contract extended to the model-based gate (score
+    every document at ingest, not in a second batch pass)."""
+    from frontier_engine import textops
+
+    docs_dir = str(tmp_path / "docs")
+    df = spark.read.parquet(os.path.join(SF, "documents.parquet")).select("doc_id", "text")
+    df.write.parquet(docs_dir)
+    sdf = textops.quality_classifier(
+        spark.readStream.schema(df.schema).parquet(docs_dir)
+    )
+    assert sdf.isStreaming
+    streaming.run_to_memory(sdf, "qc_s", str(tmp_path / "ck"))
+    got = sorted(map(tuple, spark.table("qc_s").collect()))
+    want = sorted(map(tuple, textops.quality_classifier(df).collect()))
+    assert got == want and len(got) == 500
