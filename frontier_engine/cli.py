@@ -59,6 +59,7 @@ def cmd_crawl(args) -> int:
         n_partitions=args.cpus or 32,
         discover_sitemaps=args.discover_sitemaps,
         learn_robots_policy=args.learn_robots,
+        auto_trap_min_fetched=args.auto_trap,
     )
     res = run_crawl(spark, corpus, seeds, cfg, host_policy=policy, seed_scores=seed_scores)
     if args.out:
@@ -175,6 +176,13 @@ def main(argv=None) -> int:
         "--learn-robots",
         action="store_true",
         help="fold fetched robots.txt Disallow rules + Crawl-delay into the live host policy (rules act with --robots)",
+    )
+    c.add_argument(
+        "--auto-trap",
+        type=int,
+        default=None,
+        metavar="N",
+        help="self-detect crawler traps: flag a (host, URL-template) once N fetches show near-identical content (HLL sketch), starving it from the next round",
     )
     c.set_defaults(fn=cmd_crawl)
 

@@ -101,6 +101,21 @@ class CrawlConfig:
     # robots.txt (seen gate), so pass the prior policy via host_policy= on
     # resume.  Default off ⇒ byte-identical parity (P8).
     learn_robots_policy: bool = False
+    # content-aware trap SELF-detection (the third learn-from-the-crawl
+    # sibling): each round, this round's fetched (host, template,
+    # content_hash) rows merge into a running per-(host, template)
+    # aggregate — fetched count + an HLL sketch of distinct content
+    # hashes (mergeable, KB per template: state is bounded by templates,
+    # never by pages — the cardinality_sketch lesson).  A template with
+    # >= auto_trap_min_fetched fetches whose estimated distinct hashes ×
+    # auto_trap_dup_factor <= fetched count is near-identical content
+    # churned through an infinite URL space (calendar/session traps) and
+    # feeds the same broadcast gate as trap_templates= from the NEXT
+    # round.  URL-count-only detection (url_template_stats) can't tell a
+    # trap from a big legitimate archive; content sameness can.
+    # None = off (byte-identical parity).
+    auto_trap_min_fetched: int | None = None
+    auto_trap_dup_factor: int = 4
     extra: dict = field(default_factory=dict)
 
 
@@ -338,6 +353,11 @@ def run_crawl(
     # working host policy: starts at the caller's table, grows mid-crawl
     # when learn_robots_policy folds in fetched robots.txt (fresher wins)
     policy = host_policy
+    # working trap table + running content-sameness aggregate (see
+    # CrawlConfig.auto_trap_min_fetched); traps starts at the caller's
+    # audit table and grows as self-detection flags templates
+    traps = trap_templates
+    trap_stats: DataFrame | None = None
 
     for round_no in range(start_round, cfg.max_rounds):
         seen_df = seen_view()
@@ -409,13 +429,13 @@ def run_crawl(
         if cfg.honor_robots:
             cand = cand.withColumn("__robots_blocked", robots_blocked_col())
             excl_flags.append(F.col("__robots_blocked"))
-        if trap_templates is not None:
+        if traps is not None:
             # trap gate: flagged (host, template) dim rows broadcast onto
             # the candidates; the template expr is SHARED with the rollup
             # side (canonicalize.path_template_col) so gate and stats can
             # never drift.  dropDuplicates defends the left-join row count
             # against a caller passing duplicate flagged pairs.
-            tt = trap_templates
+            tt = traps
             if "is_trap" in tt.columns:
                 tt = tt.filter(F.col("is_trap").cast("boolean"))
             tt = (
@@ -553,6 +573,53 @@ def run_crawl(
             "seed_index", "html", F.col("extracted_text").alias("text"),
             "links", "images", "tables", "page_metadata", "json_ld", "content_hash",
         )
+
+        if cfg.auto_trap_min_fetched is not None:
+            from frontier_engine.canonicalize import path_template_col
+
+            delta = page_rows.select(
+                "host",
+                path_template_col(F.parse_url(F.col("url"), F.lit("PATH"))).alias("template"),
+                "content_hash",
+            )
+            dsk = delta.groupBy("host", "template").agg(
+                F.hll_sketch_agg("content_hash").alias("sk"),
+                F.count(F.lit(1)).alias("n_fetched"),
+            )
+            if trap_stats is None:
+                trap_stats = dsk
+            else:
+                trap_stats = trap_stats.unionByName(dsk).groupBy("host", "template").agg(
+                    F.hll_union_agg("sk").alias("sk"),
+                    F.sum("n_fetched").alias("n_fetched"),
+                )
+            # one KB sketch + one long per (host, template): the running
+            # aggregate is template-bounded, never page-bounded, and the
+            # checkpoint keeps each round's merge O(delta)
+            trap_stats = trap_stats.localCheckpoint(eager=True)
+            detected = (
+                trap_stats.select(
+                    "host",
+                    "template",
+                    F.hll_sketch_estimate("sk").cast("long").alias("n_hashes"),
+                    "n_fetched",
+                )
+                .filter(
+                    (F.col("n_fetched") >= F.lit(cfg.auto_trap_min_fetched))
+                    & (F.col("n_hashes") * F.lit(cfg.auto_trap_dup_factor) <= F.col("n_fetched"))
+                )
+                .select("host", "template")
+            )
+            base = trap_templates
+            if base is not None and "is_trap" in base.columns:
+                # keep the caller's is_trap filter semantics through the
+                # union (the gate's own filter would no longer see the col)
+                base = base.filter(F.col("is_trap").cast("boolean"))
+            traps = (
+                detected
+                if base is None
+                else base.select("host", "template").unionByName(detected)
+            )
 
         # 8d. metrics — per-round DELTA like pages/seen (appending to and
         # re-checkpointing a cumulative table each round was O(rounds²))

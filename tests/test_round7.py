@@ -411,3 +411,38 @@ def test_discovery_and_policy_composed(spark):
     got = {r["url"] for r in res.pages.select("url").collect()}
     assert got == {u("/robots.txt"), u("/sitemap.xml"), u("/start"), u("/open/page")}, got
     assert res.frontier.filter(F.col("status").isin("pending", "retry")).count() == 0
+
+
+def test_auto_trap_detection_by_content_sameness(spark):
+    """Self-detecting trap gate (auto_trap_min_fetched): 30 calendar-trap
+    URLs serving IDENTICAL bodies vs same-host real pages with distinct
+    bodies.  After round 0's quota of 6 trap fetches (one content hash →
+    estimate×3 ≤ 6) the template is flagged; the remaining 24 trap URLs
+    leave the frontier while every real page is still fetched.  URL-count
+    detection alone could not make this call — /r/N also has >6 URLs but
+    its distinct bodies keep it unflagged."""
+    h = "cal.example.com"
+    trap_urls = [f"https://{h}/cal/2024/01/{i}" for i in range(30)]
+    real_urls = [f"https://{h}/r/{j}" for j in range(8)]
+    rows = [_page(u, body="same trap body every time") for u in trap_urls] + [
+        _page(u, body=f"unique body {u}") for u in real_urls
+    ]
+    corpus = spark.createDataFrame(rows, schema=PAGES)
+    res = run_crawl(
+        spark,
+        corpus,
+        trap_urls + real_urls,  # trap seeds first: round 0 quota goes to them
+        CrawlConfig(
+            round_seconds=1e9,
+            max_rounds=12,
+            max_per_host_per_round=6,
+            n_partitions=4,
+            auto_trap_min_fetched=6,
+            auto_trap_dup_factor=3,
+        ),
+    )
+    got = [r["url"] for r in res.pages.select("url").collect()]
+    n_trap = sum(1 for u in got if "/cal/" in u)
+    assert n_trap == 6, (n_trap, sorted(got))
+    assert {u for u in got if "/r/" in u} == set(real_urls)
+    assert res.frontier.filter(F.col("status").isin("pending", "retry")).count() == 0
