@@ -112,7 +112,10 @@ class CrawlConfig:
     # churned through an infinite URL space (calendar/session traps) and
     # feeds the same broadcast gate as trap_templates= from the NEXT
     # round.  URL-count-only detection (url_template_stats) can't tell a
-    # trap from a big legitimate archive; content sameness can.
+    # trap from a big legitimate archive; content sameness can.  Like the
+    # learned robots policy, the running aggregate is NOT snapshotted: a
+    # resumed crawl re-learns from its own fetches, or pass a prior
+    # audit via trap_templates= (url_template_stats output) on resume.
     # None = off (byte-identical parity).
     auto_trap_min_fetched: int | None = None
     auto_trap_dup_factor: int = 4
