@@ -446,3 +446,34 @@ def test_auto_trap_detection_by_content_sameness(spark):
     assert n_trap == 6, (n_trap, sorted(got))
     assert {u for u in got if "/r/" in u} == set(real_urls)
     assert res.frontier.filter(F.col("status").isin("pending", "retry")).count() == 0
+
+
+def test_auto_trap_relearns_after_resume(spark, tmp_path):
+    """The auto-trap aggregate is NOT snapshotted (CrawlConfig docstring):
+    a resumed crawl re-learns from its own fetches.  Crash after round 0's
+    6 trap fetches; the resumed run pays ONE more quota of trap fetches
+    before re-flagging the template, then starves it — 12 trap pages
+    total across both phases, every real page fetched, loop drained."""
+    h = "resume.example.com"
+    trap_urls = [f"https://{h}/cal/2024/01/{i}" for i in range(30)]
+    real_urls = [f"https://{h}/r/{j}" for j in range(8)]
+    rows = [_page(u, body="same trap body every time") for u in trap_urls] + [
+        _page(u, body=f"unique body {u}") for u in real_urls
+    ]
+    corpus = spark.createDataFrame(rows, schema=PAGES)
+    seeds = trap_urls + real_urls
+    kw = dict(
+        round_seconds=1e9,
+        max_per_host_per_round=6,
+        n_partitions=4,
+        auto_trap_min_fetched=6,
+        auto_trap_dup_factor=3,
+        checkpoint_dir=str(tmp_path),
+    )
+    part = run_crawl(spark, corpus, seeds, CrawlConfig(max_rounds=1, **kw))
+    assert part.pages.count() == 6
+    res = run_crawl(spark, corpus, seeds, CrawlConfig(max_rounds=12, **kw))
+    got = [r["url"] for r in res.pages.select("url").collect()]
+    assert sum(1 for u in got if "/cal/" in u) == 12, sorted(got)
+    assert {u for u in got if "/r/" in u} == set(real_urls)
+    assert res.frontier.filter(F.col("status").isin("pending", "retry")).count() == 0
