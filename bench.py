@@ -228,6 +228,20 @@ def main():
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # production-hash twin of quality_classifier (use_xxhash=True: native
+    # xxhash64 instead of the md5 oracle-parity family — measured 4.89x
+    # at 2M docs, SCALE.md round-7); recorded beside the parity line so
+    # every round shows the oracle tax explicitly
+    from frontier_engine import textops as textopsmod
+    docs_sf = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(textopsmod.quality_classifier(docs_sf, use_xxhash=True))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    timings["quality_classifier_xxh"] = round(best, 3)
+
     # ANN contract metrics: recall@k of each bucketed/pruned path vs the
     # exact bruteforce baseline (tiny result sets — the collect is cheap)
     truth = {(r[0], r[1]) for r in qs["ann_cosine_topk"](spark, sf_dir).select("query_id", "cand_id").collect()}
