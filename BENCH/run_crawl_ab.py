@@ -92,6 +92,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        print(__doc__)
+        sys.exit(2)
     if sys.argv[1] == "cell":
         cell(sys.argv[2])
     else:

@@ -582,11 +582,16 @@ def q_training_pipeline(spark, sf, materialize=True):
     d = _t(spark, sf, "documents")
     q = d.select("doc_id", "lang", "text", *textops.quality_columns())
     kept = q.filter((F.col("n_tokens") >= 10) & F.col("lang").isin("en", "fr", "de", "es"))
-    # exact dedup, keep-first (min doc_id per md5(text))
-    reps = kept.groupBy(F.md5("text").alias("th")).agg(F.min("doc_id").alias("keep_id"))
-    kept = kept.withColumn("th", F.md5("text")).join(reps, "th").filter(
-        F.col("doc_id") == F.col("keep_id")
-    )
+    # exact dedup, keep-first (min doc_id per md5(text)).  th is computed
+    # ONCE on the gated frame and the frame checkpointed before the
+    # self-referencing dedup join: without the barrier the reps branch and
+    # the join-back branch each re-ran the scan + quality projection +
+    # md5 — a whole extra corpus parse (guide §1.2 step 1).
+    kept = kept.withColumn("th", F.md5("text"))
+    if materialize:
+        kept = kept.localCheckpoint(eager=True)
+    reps = kept.groupBy("th").agg(F.min("doc_id").alias("keep_id"))
+    kept = kept.join(reps, "th").filter(F.col("doc_id") == F.col("keep_id"))
     # kept feeds THREE consumers (the LSH pair generation, the anti-join
     # back, and the PII projection) — without a materialization barrier the
     # scan + quality projection + exact-dedup join re-execute per branch,
@@ -648,6 +653,17 @@ def q_contamination(spark, sf):
     d = _t(spark, sf, "documents")
     return textops.contamination_pairs(
         d.filter(F.col("doc_id") % 5 != 4), d.filter(F.col("doc_id") % 5 == 4)
+    )
+
+
+def q_contamination_unmaterialized(spark, sf):
+    """Plan-audit twin of q_contamination: identical rows, no train-sliver
+    localCheckpoint, so the pushdown audit can see the train scan (the
+    q_training_pipeline(materialize=False) precedent)."""
+    d = _t(spark, sf, "documents")
+    return textops.contamination_pairs(
+        d.filter(F.col("doc_id") % 5 != 4), d.filter(F.col("doc_id") % 5 == 4),
+        materialize=False,
     )
 
 
@@ -916,7 +932,13 @@ def q_anchor_rollup_pages(spark, sf):
         F.concat(F.lit("http://src.example/p/"), F.col("doc_id").cast("string")).alias("url"),
         F.encode(html, "UTF-8").alias("html"),
     )
-    return textops.anchor_rollup_from_pages(with_extractions(pages))
+    # links-only extraction (guide §4): the rollup touches nothing else, so
+    # the Python workers skip get_text/images/tables/metadata/json-ld and
+    # the page bytes never cross Arrow back to the JVM.  The links column
+    # itself is byte-identical to the full-extraction run.
+    return textops.anchor_rollup_from_pages(
+        with_extractions(pages, extract_cols=("links",), keep_cols=("url",))
+    )
 
 
 # ---------------------------------------------------------------------------

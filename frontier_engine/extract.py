@@ -145,16 +145,39 @@ EXTRACT_COLS = StructType(
 )
 
 
-def with_extractions(pages: DataFrame, parity_base: bool = True) -> DataFrame:
+def with_extractions(
+    pages: DataFrame,
+    parity_base: bool = True,
+    extract_cols: tuple[str, ...] | None = None,
+    keep_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Parse each page once; append all extraction columns.
 
     ``parity_base``: resolve relative links against the page URL's
     scheme://host root the way cli.py does (it passes the page url as
     base_url — parser.py's naive concat then applies).  The reference passes
     the FULL page url as base (cli.py:193-195 → parser calls), so we do too.
+
+    ``extract_cols`` / ``keep_cols`` (guide §4: pass and return only the
+    columns the consumer needs): when set, only the named EXTRACT_COLS are
+    computed per page (the rest never run — a links-only caller skips
+    get_text + the image/table/meta/json-ld walks entirely) and only the
+    named input columns are returned through Arrow (a caller that drops
+    ``html`` afterwards otherwise pays to serialize every page body
+    Python→JVM a second time).  Defaults (None) = all columns, the crawl
+    path's behavior, unchanged.  Each computed column is byte-identical to
+    the full-extraction run — pruning changes cost, never values.
     """
-    out_schema = StructType(list(pages.schema.fields) + list(EXTRACT_COLS.fields))
+    wanted = tuple(extract_cols) if extract_cols is not None else tuple(
+        f.name for f in EXTRACT_COLS.fields
+    )
     in_cols = [f.name for f in pages.schema.fields]
+    kept_in = list(keep_cols) if keep_cols is not None else in_cols
+    out_schema = StructType(
+        [f for f in pages.schema.fields if f.name in kept_in]
+        + [f for f in EXTRACT_COLS.fields if f.name in wanted]
+    )
+    out_names = [f.name for f in out_schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -169,63 +192,71 @@ def with_extractions(pages: DataFrame, parity_base: bool = True) -> DataFrame:
                     jlds.append(None)
                     continue
                 doc = parse_html(h)
-                texts.append(doc.get_text(separator=" ", strip=True))
-                lnk = []
-                for a in doc.find_all("a", has_attr="href"):
-                    href = a.attrs["href"]
-                    if href.startswith("javascript:"):
-                        continue
-                    lnk.append(
-                        {"url": refsem._naive_resolve(base, href), "text": a.get_text().strip()}
+                if "extracted_text" in wanted:
+                    texts.append(doc.get_text(separator=" ", strip=True))
+                if "links" in wanted:
+                    lnk = []
+                    for a in doc.find_all("a", has_attr="href"):
+                        href = a.attrs["href"]
+                        if href.startswith("javascript:"):
+                            continue
+                        lnk.append(
+                            {"url": refsem._naive_resolve(base, href), "text": a.get_text().strip()}
+                        )
+                    links.append(lnk)
+                if "images" in wanted:
+                    images.append(
+                        [
+                            {"url": refsem._naive_resolve(base, im.attrs["src"]), "alt": im.get("alt", "")}
+                            for im in doc.find_all("img", has_attr="src")
+                        ]
                     )
-                links.append(lnk)
-                images.append(
-                    [
-                        {"url": refsem._naive_resolve(base, im.attrs["src"]), "alt": im.get("alt", "")}
-                        for im in doc.find_all("img", has_attr="src")
-                    ]
-                )
-                tbls = []
-                for t in doc.find_all("table"):
-                    rows = []
-                    headers = [th.get_text().strip() for th in t.find_all("th")]
-                    if headers:
-                        rows.append(headers)
-                    for tr in t.find_all("tr"):
-                        cells = [td.get_text().strip() for td in tr.find_all("td")]
-                        if cells:
-                            rows.append(cells)
-                    tbls.append(rows)
-                tables.append(tbls)
-                md: dict[str, str] = {}
-                title = doc.find("title")
-                if title:
-                    md["title"] = title.get_text().strip()
-                for meta in doc.find_all("meta"):
-                    name = meta.get("name", meta.get("property", ""))
-                    content = meta.get("content", "")
-                    if name and content:
-                        md[name] = content
-                metas.append(md)
-                jl = []
-                for script in doc.find_all("script", attrs={"type": "application/ld+json"}):
-                    try:
-                        jl.append(json.dumps(json.loads(script.string or ""), sort_keys=True))
-                    except json.JSONDecodeError:
-                        continue
-                jlds.append(jl)
-            pdf = pdf.copy()
-            pdf["extracted_text"] = texts
-            pdf["links"] = links
-            pdf["images"] = images
-            pdf["tables"] = tables
-            pdf["page_metadata"] = metas
-            pdf["json_ld"] = jlds
-            yield pdf
+                if "tables" in wanted:
+                    tbls = []
+                    for t in doc.find_all("table"):
+                        rows = []
+                        headers = [th.get_text().strip() for th in t.find_all("th")]
+                        if headers:
+                            rows.append(headers)
+                        for tr in t.find_all("tr"):
+                            cells = [td.get_text().strip() for td in tr.find_all("td")]
+                            if cells:
+                                rows.append(cells)
+                        tbls.append(rows)
+                    tables.append(tbls)
+                if "page_metadata" in wanted:
+                    md: dict[str, str] = {}
+                    title = doc.find("title")
+                    if title:
+                        md["title"] = title.get_text().strip()
+                    for meta in doc.find_all("meta"):
+                        name = meta.get("name", meta.get("property", ""))
+                        content = meta.get("content", "")
+                        if name and content:
+                            md[name] = content
+                    metas.append(md)
+                if "json_ld" in wanted:
+                    jl = []
+                    for script in doc.find_all("script", attrs={"type": "application/ld+json"}):
+                        try:
+                            jl.append(json.dumps(json.loads(script.string or ""), sort_keys=True))
+                        except json.JSONDecodeError:
+                            continue
+                    jlds.append(jl)
+            out = pdf[kept_in].copy()
+            computed = {
+                "extracted_text": texts,
+                "links": links,
+                "images": images,
+                "tables": tables,
+                "page_metadata": metas,
+                "json_ld": jlds,
+            }
+            for name in wanted:
+                out[name] = computed[name]
+            yield out
 
-    return pages.mapInPandas(run, schema=out_schema).select(
-        *in_cols, *[f.name for f in EXTRACT_COLS.fields]
-    )
+    return pages.mapInPandas(run, schema=out_schema).select(*out_names)
 
 
 # -- native-expression operators (no Python worker; SURVEY §2.3) -------------

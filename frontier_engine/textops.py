@@ -146,6 +146,18 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3) -
     Scale: explode(windows) is the only width increase (~tokens/doc rows),
     followed by one partial-aggregating groupBy — no shuffle of raw text.
     """
+    wide = _minhash_wide(docs, n_hashes, shingle_n)
+    stack = ", ".join(f"{s}, m{s}" for s in range(n_hashes))
+    return wide.selectExpr(
+        "doc_id", f"stack({n_hashes}, {stack}) as (salt_id, minhash)"
+    ).select("doc_id", F.col("salt_id").cast("int"), "minhash")
+
+
+def _minhash_wide(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+    """WIDE minhash signatures — (doc_id, m0..m{n-1}), one row per doc with
+    ≥1 shingle window.  The shared core of :func:`minhash_signatures` (which
+    stacks it to long form for the oracle) and :func:`lsh_band_keys` (which
+    derives band hashes map-side without re-grouping)."""
     hdf = docs.select(
         "doc_id",
         F.transform(
@@ -161,11 +173,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3) -
         F.min((F.lit(a) * (F.col("x") + 1) + F.lit(b)) % MINHASH_PRIME).alias(f"m{s}")
         for s, (a, b) in enumerate(minhash_coefficients(n_hashes))
     ]
-    wide = ex.groupBy("doc_id").agg(*aggs)
-    stack = ", ".join(f"{s}, m{s}" for s in range(n_hashes))
-    return wide.selectExpr(
-        "doc_id", f"stack({n_hashes}, {stack}) as (salt_id, minhash)"
-    ).select("doc_id", F.col("salt_id").cast("int"), "minhash")
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_band_keys(
@@ -174,12 +182,31 @@ def lsh_band_keys(
     """(doc_id, band_id, band_hash) LSH band keys — the shared candidate
     key for batch pair-mining (dedup_minhash_lsh) and incremental
     new-vs-index dedup (dedup_minhash_incremental).  Per-doc computation:
-    band keys over a corpus equal band keys over any subset of it."""
-    sig = minhash_signatures(docs, n_hashes, shingle_n)
-    return (
-        sig.withColumn("band_id", (F.col("salt_id") / band_size).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.col("minhash").cast("string"))))).alias("band_hash"))
+    band keys over a corpus equal band keys over any subset of it.
+
+    Band hashes are derived MAP-SIDE from the wide signature row (each
+    band's members are fixed columns, so the old stack → groupBy(doc,
+    band) → collect_list round-trip was a whole extra Exchange for a sort
+    of ``band_size`` known values).  sort_array over the cast strings
+    reproduces collect_list+sort_array's STRING ordering exactly, so the
+    md5 band keys are bit-identical to the grouped form."""
+    import math as _math
+
+    wide = _minhash_wide(docs, n_hashes, shingle_n)
+    bands = []
+    for bidx in range(_math.ceil(n_hashes / band_size)):
+        members = [
+            F.col(f"m{s}").cast("string")
+            for s in range(bidx * band_size, min((bidx + 1) * band_size, n_hashes))
+        ]
+        bands.append(
+            F.struct(
+                F.lit(bidx).cast("int").alias("band_id"),
+                F.md5(F.concat_ws(",", F.sort_array(F.array(*members)))).alias("band_hash"),
+            )
+        )
+    return wide.select("doc_id", F.explode(F.array(*bands)).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
     )
 
 
@@ -944,8 +971,12 @@ def quality_classifier(
     m = 2 * half_range + 1
     toks = tokens_col(F.col("text"))
     if use_xxhash:
-        hs_expr = F.transform(toks, lambda t: F.abs(F.xxhash64(t)) % MINHASH_PRIME)
-        w = lambda h: F.abs(F.xxhash64(F.lit("w#"), h)) % m - half_range  # noqa: E731
+        # pmod, not abs(..)%: abs(Long.MIN_VALUE) stays negative in
+        # non-ANSI Spark, so a 2^-64-probability hash would put a weight
+        # outside [-half_range, half_range] and break the documented
+        # score_permille ∈ [0, 1000] bound (ADVICE r7)
+        hs_expr = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(MINHASH_PRIME)))
+        w = lambda h: F.pmod(F.xxhash64(F.lit("w#"), h), F.lit(m)) - half_range  # noqa: E731
     else:
         hs_expr = F.transform(toks, lambda t: _h60(t) % MINHASH_PRIME)
         w = lambda h: _h60(F.concat(F.lit("w#"), h.cast("string"))) % m - half_range  # noqa: E731
@@ -990,36 +1021,68 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     values never surface, only the count fractions, and the ORACLE uses the
     identical roll, so a hash collision merges the same two grams in both
     engines (parity is exact by construction; the statistic itself shifts
-    by ~grams²/2^32 — negligible).  The token-hash array is checkpointed so
-    the bigram and trigram branches parse the corpus once, not twice
-    (5.5 s → ~2 s at sf0.1).
+    by ~grams²/2^32 — negligible).
+
+    All three statistics are per-DOC functions of the gram multiset, so
+    they are computed as array expressions over the sorted gram array —
+    max run length (= the old per-(doc, gram) max count), total size, and
+    distinct size — making the whole operator ONE map-side projection:
+    zero Exchanges, zero joins, no checkpoint (was: explode + 2 groupBys +
+    join back, per n-gram width — 8.1 s → map-only at sf1.0).  Identical
+    integers reach the same round(x, 6) divisions, so oracle parity is
+    unchanged.
     """
     hdf = docs.select(
         "doc_id",
         F.transform(
             tokens_col(F.col("text")), lambda tk: _h60(tk) % MINHASH_PRIME
         ).alias("hs"),
-    ).localCheckpoint(eager=True)
-    out = docs.select("doc_id")
-    for n, label in ((2, "bigram"), (3, "trigram")):
-        grams = hdf.select(
-            "doc_id", F.explode(rolling_shingle_hashes(F.col("hs"), n)).alias("g")
+    )
+    gdf = hdf.select(
+        "doc_id",
+        rolling_shingle_hashes(F.col("hs"), 2).alias("g2"),
+        rolling_shingle_hashes(F.col("hs"), 3).alias("g3"),
+    )
+
+    def run_stats(col):
+        # ONE fold over the sorted array yields both the max run length
+        # (== max per-gram count) and the distinct count (== run count);
+        # the -1 sentinel can never equal a gram hash (values ≥ 0 mod P)
+        is_new = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(  # noqa: E731
+            F.lit(1).cast("long")
         )
-        per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-        per_doc = per_gram.groupBy("doc_id").agg(
-            F.max("c").alias("mx"),
-            F.sum("c").alias("tot"),
-            F.count(F.lit(1)).alias("uniq"),
+        return F.aggregate(
+            F.array_sort(col),
+            F.struct(
+                F.lit(-1).cast("long").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("mx"),
+                F.lit(0).cast("long").alias("nd"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                is_new(acc, x).alias("run"),
+                F.greatest(acc["mx"], is_new(acc, x)).alias("mx"),
+                (acc["nd"] + F.when(x == acc["prev"], 0).otherwise(1)).alias("nd"),
+            ),
+            lambda acc: F.struct(acc["mx"].alias("mx"), acc["nd"].alias("nd")),
         )
-        cols = [F.round(F.col("mx") / F.col("tot"), 6).alias(f"top_{label}_frac")]
-        if n == 3:
-            cols.append(
-                F.round((F.col("tot") - F.col("uniq")) / F.col("tot"), 6).alias("dup_trigram_frac")
-            )
-        out = out.join(per_doc.select("doc_id", *cols), "doc_id", "left")
-    fill = {c: 0.0 for c in ("top_bigram_frac", "top_trigram_frac", "dup_trigram_frac")}
-    return out.fillna(fill).select(
-        "doc_id", "top_bigram_frac", "top_trigram_frac", "dup_trigram_frac"
+
+    def frac(num, den):
+        return F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))
+
+    sdf = gdf.select(
+        "doc_id",
+        F.size("g2").cast("long").alias("tot2"),
+        F.size("g3").cast("long").alias("tot3"),
+        run_stats(F.col("g2")).alias("r2"),
+        run_stats(F.col("g3")).alias("r3"),
+    )
+    return sdf.select(
+        "doc_id",
+        frac(F.col("r2.mx"), F.col("tot2")).alias("top_bigram_frac"),
+        frac(F.col("r3.mx"), F.col("tot3")).alias("top_trigram_frac"),
+        frac(F.col("tot3") - F.col("r3.nd"), F.col("tot3")).alias("dup_trigram_frac"),
     )
 
 
@@ -1241,9 +1304,16 @@ def tfidf_topterms(docs: DataFrame, k: int = 3) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
     ).filter(F.col("term") != "")
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the df aggregation and the score join: checkpoint it so
+    # the corpus is tokenized once, not once per consumer.  The vocabulary
+    # is Heaps-law bounded, so df is broadcast (measured row count, same
+    # guarded pattern as unigram_surprisal) — the (doc, term) side then
+    # never re-shuffles by term, which also removes the hot-term skew from
+    # the probe side.
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=True)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df_, "term").withColumn(
+    bcast = F.broadcast if df_.count() <= 8_000_000 else (lambda d: d)
+    scored = tf.join(bcast(df_), "term").withColumn(
         "score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
     )
     from pyspark.sql.window import Window
@@ -1378,6 +1448,7 @@ def contamination_pairs(
     min_overlap: int = 2,
     max_train_docs_per_shingle: int = 100,
     max_broadcast_shingles: int = 8_000_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Train/eval contamination detection: for each (train doc, eval doc)
     pair, count the DISTINCT word-``shingle_n``-gram hashes they share and
@@ -1457,7 +1528,12 @@ def contamination_pairs(
     # each consumer re-tokenizes and re-shingles the whole train corpus
     # (two full corpus parses for one query — guide §1.2 step 1).  The
     # sliver is eval-matched, i.e. MBs under the eval-is-small contract.
-    t = t.join(bcast(esh), "sh").localCheckpoint(eager=True)
+    # ``materialize=False`` is the plan-audit path (the barrier cuts
+    # lineage and hides the train scan's PushedFilters — the
+    # training_pipeline precedent in tools/audit_plans.py).
+    t = t.join(bcast(esh), "sh")
+    if materialize:
+        t = t.localCheckpoint(eager=True)
     # stop-shingle guard, counted over the matched sliver (df per shingle
     # is identical to the full-corpus count for every surviving shingle)
     hot = (
@@ -1615,18 +1691,25 @@ def duplicate_ngram_coverage(docs: DataFrame, n: int = 8, min_df: int = 2) -> Da
         "doc_id",
         F.transform(tokens_col(F.col("text")), lambda tk: _h60(tk) % MINHASH_PRIME).alias("hs"),
     ).select("doc_id", F.explode(rolling_shingle_hashes(F.col("hs"), n)).alias("g"))
-    # one materialization feeds the df count, the per-doc totals and the
-    # coverage semi-join (same 3-consumer rationale as ngram_jaccard_pairs)
-    ex = ex.localCheckpoint(eager=True)
+    # collapse gram INSTANCES to per-(doc, gram) counts first — one
+    # partial-aggregating shuffle — and checkpoint THAT: the df count, the
+    # per-doc totals and the coverage semi-join all derive from c exactly
+    # (sum of counts == instance count; one row per (doc, gram) == the old
+    # distinct), so the old separate distinct shuffle and the semi-join
+    # over raw instances disappear (guide §2.3 aggregate-before-shuffle)
+    c = (
+        ex.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     dup = (
-        ex.select("doc_id", "g").distinct()
-        .groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        c.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
         .select("g")
     )
-    inst = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    cov = ex.join(dup, "g", "left_semi").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dup_grams")
+    inst = c.groupBy("doc_id").agg(F.sum("c").alias("n_grams"))
+    cov = c.join(dup, "g", "left_semi").groupBy("doc_id").agg(
+        F.sum("c").alias("dup_grams")
     )
     return (
         docs.select("doc_id")
@@ -2129,19 +2212,29 @@ def host_quality_filter(
 
     Scale: the stats frame (one row per host) is BROADCAST back onto the
     corpus, so the 100 TB document side is never shuffled; the only
-    shuffle is the MB-scale stats aggregation itself.  Computing stats
-    inline scans the corpus TWICE (VERDICT r6: constant factor, not a
-    scale-killer — both scans map-side); at 100 TB pass ``stats`` from a
-    prior pipeline stage's metrics table (host_quality_stats output, or
-    the streaming twin's accumulated windows rolled up per host) and the
-    gate becomes a single map-side pass over the documents."""
+    shuffle is the MB-scale stats aggregation itself.  With ``stats=None``
+    the slim per-doc quality projection (doc_id, source, quality_permille
+    — ~24 bytes/row) is checkpointed and feeds BOTH the stats aggregation
+    and the gate join, so the corpus TEXT is parsed once, not twice (was
+    the dominant cost: two full quality parses, 8.2 s at sf1.0); at
+    100 TB pass ``stats`` from a prior pipeline stage's metrics table
+    (host_quality_stats output, or the streaming twin's accumulated
+    windows rolled up per host) and the gate becomes a single map-side
+    pass over the documents with no checkpoint at all."""
+    q = docs.select("doc_id", "source", *quality_columns()).select(
+        "doc_id", "source", "quality_permille"
+    )
     if stats is None:
-        stats = host_quality_stats(docs)
+        q = q.localCheckpoint(eager=True)
+        stats = q.groupBy("source").agg(
+            F.count(F.lit(1)).alias("host_docs"),
+            F.sum("quality_permille").alias("host_quality_sum"),
+            F.floor(F.sum("quality_permille") / F.count(F.lit(1))).cast("long").alias("host_mean_quality"),
+        )
     good = stats.filter(
         (F.col("host_docs") >= F.lit(min_docs))
         & (F.col("host_quality_sum") >= F.lit(min_host_mean_quality) * F.col("host_docs"))
     ).select("source", "host_docs", "host_mean_quality")
-    q = docs.select("doc_id", "source", *quality_columns())
     return q.join(F.broadcast(good), "source").select(
         "doc_id", "source", "quality_permille", "host_docs", "host_mean_quality"
     )

@@ -142,10 +142,12 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     qs = dict(entrymod.queries())
     qs["ann_ivf_materialized"] = _ann_ivf_materialized
-    # the shipped query localCheckpoints its dedup stage (three consumers) —
-    # that barrier cuts lineage and hides the parquet scan from the final
-    # plan, so the pushdown audit runs the unmaterialized twin
+    # the shipped queries localCheckpoint their reused stages (three
+    # consumers / the eval-matched train sliver) — that barrier cuts
+    # lineage and hides the parquet scan from the final plan, so the
+    # pushdown audit runs the unmaterialized twins
     qs["training_pipeline"] = lambda s, sf: entrymod.q_training_pipeline(s, sf, materialize=False)
+    qs["contamination"] = entrymod.q_contamination_unmaterialized
     out = [
         "# PLANS.md — physical-plan audit of headline queries "
         f"({os.path.basename(sf.rstrip('/'))})",
