@@ -246,7 +246,11 @@ def stream_contamination(
             ).alias("sh"),
         )
 
-    ev = shingle_rows(eval_docs, "eval_doc_id")
+    # the STATIC eval side feeds two consumers (the denominator count and
+    # the broadcast pair join) and is re-evaluated per micro-batch;
+    # checkpoint the MB-scale shingle frame once (the batch op's `e`
+    # checkpoint, applied to the stream-static side)
+    ev = shingle_rows(eval_docs, "eval_doc_id").localCheckpoint(eager=True)
     # eval_total counts ALL distinct eval shingles (batch parity: the stop
     # cap removes shingles from the pair count, not the denominator)
     etot = ev.groupBy("eval_doc_id").agg(F.count(F.lit(1)).alias("eval_total"))

@@ -385,20 +385,49 @@ def ngram_jaccard_pairs(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= max_docs_per_shingle))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
+    # pack each pair into ONE long when ids fit 31 bits (probed with a tiny
+    # agg on the checkpointed postings): the pair stream — 71M rows at
+    # sf1.0, 94% singleton pairs, so the aggregation hash table is ~|pairs|
+    # entries and its per-entry cost IS the query — then flows as primitive
+    # longs with no struct allocation in the generator and a single-column
+    # group key.  shiftright/bitwiseAND unpacking is exact; oversized ids
+    # fall back to the struct pair, same results either way.
+    bounds = sh.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")).first()
+    if bounds["mn"] is not None and bounds["mn"] >= 0 and bounds["mx"] < (1 << 31):
+        packed = F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                    lambda y: x * F.lit(1 << 31).cast("long") + y,
+                ),
+            )
         )
-    )
-    inter = (
-        grp.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+        inter = (
+            grp.select(F.explode(packed).alias("pk"))
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+            .select(
+                F.shiftright("pk", 31).alias("doc_a"),
+                F.col("pk").bitwiseAND(F.lit((1 << 31) - 1)).cast("long").alias("doc_b"),
+                "n_inter",
+            )
+        )
+    else:
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+        inter = (
+            grp.select(F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
@@ -1239,15 +1268,28 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
             .groupBy("node")
             .agg(F.min("label").alias("nb_min"))
         )
+        cand = labels.join(nb_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
+            F.col("label").alias("prev_label"),
+        )
+        # pointer-doubling shortcut (the Kiveris et al. star step): follow
+        # each label one hop through the label table itself, label :=
+        # min(label, label(label)).  Labels descend monotonically toward
+        # the same component-min fixpoint, but tree heights halve per
+        # round, so convergence is O(log diameter) rounds instead of
+        # O(diameter) — measured 18 rounds → 5 at sf1.0, where each round
+        # is latency-bound (~0.5 s over a 106k-row frame).
+        lookup = cand.select(F.col("node").alias("label"), F.col("label").alias("ll"))
         # carry the previous label through the checkpoint: the convergence
         # count is then a filter on already-materialized rows (one job per
         # round, not a second join job)
         new_labels = (
-            labels.join(nb_min, "node", "left")
+            cand.join(lookup, "label", "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
-                F.col("label").alias("prev_label"),
+                F.least(F.col("label"), F.coalesce("ll", "label")).alias("label"),
+                "prev_label",
             )
             .localCheckpoint(eager=True)
         )
