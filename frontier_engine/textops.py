@@ -1262,7 +1262,7 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         edges.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr"))
     ).distinct().localCheckpoint(eager=True)
     labels = sym.select("node").distinct().withColumn("label", F.col("node"))
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nb_min = (
             sym.join(labels.select(F.col("node").alias("nbr"), "label"), "nbr")
             .groupBy("node")
@@ -1273,26 +1273,28 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
             F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
             F.col("label").alias("prev_label"),
         )
-        # pointer-doubling shortcut (the Kiveris et al. star step): follow
-        # each label one hop through the label table itself, label :=
-        # min(label, label(label)).  Labels descend monotonically toward
-        # the same component-min fixpoint, but tree heights halve per
-        # round, so convergence is O(log diameter) rounds instead of
-        # O(diameter) — measured 18 rounds → 5 at sf1.0, where each round
-        # is latency-bound (~0.5 s over a 106k-row frame).
-        lookup = cand.select(F.col("node").alias("label"), F.col("label").alias("ll"))
-        # carry the previous label through the checkpoint: the convergence
-        # count is then a filter on already-materialized rows (one job per
-        # round, not a second join job)
-        new_labels = (
-            cand.join(lookup, "label", "left")
-            .select(
+        if it >= 2:
+            # pointer-doubling shortcut (the Kiveris et al. star step):
+            # follow each label one hop through the label table itself,
+            # label := min(label, label(label)).  Labels descend
+            # monotonically toward the same component-min fixpoint, but
+            # tree heights halve per round, so the tail converges in
+            # O(log diameter) rounds instead of O(diameter) — measured 18
+            # latency-bound rounds → 5 at sf1.0, whose LSH graph has
+            # chain components of diameter ~18.  The first two rounds run
+            # WITHOUT the extra join: they do the bulk relabeling on any
+            # graph, and on small-diameter graphs (sf0.1) the shortcut's
+            # join would cost more than the rounds it saves.
+            lookup = cand.select(F.col("node").alias("label"), F.col("label").alias("ll"))
+            cand = cand.join(lookup, "label", "left").select(
                 "node",
                 F.least(F.col("label"), F.coalesce("ll", "label")).alias("label"),
                 "prev_label",
             )
-            .localCheckpoint(eager=True)
-        )
+        # carry the previous label through the checkpoint: the convergence
+        # count is then a filter on already-materialized rows (one job per
+        # round, not a second join job)
+        new_labels = cand.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("label") != F.col("prev_label")).count()
         labels = new_labels.select("node", "label")
         if changed == 0:
@@ -1749,6 +1751,10 @@ def duplicate_ngram_coverage(docs: DataFrame, n: int = 8, min_df: int = 2) -> Da
         .filter(F.col("df") >= min_df)
         .select("g")
     )
+    # (measured: broadcasting dup is a wash — at min_df=2 the dup-gram set
+    # is a large fraction of the vocabulary, so the broadcast build costs
+    # what the by-g shuffle of the pre-collapsed c costs; the shuffle
+    # semi-join also keeps the op safe for corpora whose dup set is huge)
     inst = c.groupBy("doc_id").agg(F.sum("c").alias("n_grams"))
     cov = c.join(dup, "g", "left_semi").groupBy("doc_id").agg(
         F.sum("c").alias("dup_grams")
@@ -1963,7 +1969,15 @@ def bm25_topk(
     terms = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
     ).filter(F.col("term") != "")
-    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl (non-empty tokens per doc) as a MAP-ONLY projection instead of a
+    # second explode + groupBy over the whole corpus: size(filter(toks))
+    # counts the identical token multiset, and the inner join below keeps
+    # exactly the docs the grouped form produced (a doc in tf always has
+    # dl >= 1) — one corpus tokenize pass saved, bit-identical scores
+    dl = docs.select(
+        "doc_id",
+        F.size(F.filter(tokens_col(F.col("text")), lambda t: t != "")).cast("long").alias("dl"),
+    )
     tf = (
         terms.filter(F.col("term").isin(list(query_terms)))
         .groupBy("doc_id", "term")
