@@ -1052,66 +1052,42 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     engines (parity is exact by construction; the statistic itself shifts
     by ~grams²/2^32 — negligible).
 
-    All three statistics are per-DOC functions of the gram multiset, so
-    they are computed as array expressions over the sorted gram array —
-    max run length (= the old per-(doc, gram) max count), total size, and
-    distinct size — making the whole operator ONE map-side projection:
-    zero Exchanges, zero joins, no checkpoint (was: explode + 2 groupBys +
-    join back, per n-gram width — 8.1 s → map-only at sf1.0).  Identical
-    integers reach the same round(x, 6) divisions, so oracle parity is
-    unchanged.
+    The token-hash array is checkpointed so the bigram and trigram
+    branches parse the corpus once, not twice (5.5 s → ~2 s at sf0.1).
+
+    A zero-shuffle rewrite (per-doc stats as folds over the SORTED gram
+    array) was built and interleave-A/B'd this round and REJECTED: the
+    per-doc array_sort + interpreted fold cost 8.1 s vs 7.0–7.6 s for
+    this explode + partial-aggregating-groupBy shape at sf1.0 — the
+    groupBys here compress map-side and never shuffle raw text, so the
+    codegen'd aggregation beats interpreted array ops.
     """
     hdf = docs.select(
         "doc_id",
         F.transform(
             tokens_col(F.col("text")), lambda tk: _h60(tk) % MINHASH_PRIME
         ).alias("hs"),
-    )
-    gdf = hdf.select(
-        "doc_id",
-        rolling_shingle_hashes(F.col("hs"), 2).alias("g2"),
-        rolling_shingle_hashes(F.col("hs"), 3).alias("g3"),
-    )
-
-    def run_stats(col):
-        # ONE fold over the sorted array yields both the max run length
-        # (== max per-gram count) and the distinct count (== run count);
-        # the -1 sentinel can never equal a gram hash (values ≥ 0 mod P)
-        is_new = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(  # noqa: E731
-            F.lit(1).cast("long")
+    ).localCheckpoint(eager=True)
+    out = docs.select("doc_id")
+    for n, label in ((2, "bigram"), (3, "trigram")):
+        grams = hdf.select(
+            "doc_id", F.explode(rolling_shingle_hashes(F.col("hs"), n)).alias("g")
         )
-        return F.aggregate(
-            F.array_sort(col),
-            F.struct(
-                F.lit(-1).cast("long").alias("prev"),
-                F.lit(0).cast("long").alias("run"),
-                F.lit(0).cast("long").alias("mx"),
-                F.lit(0).cast("long").alias("nd"),
-            ),
-            lambda acc, x: F.struct(
-                x.alias("prev"),
-                is_new(acc, x).alias("run"),
-                F.greatest(acc["mx"], is_new(acc, x)).alias("mx"),
-                (acc["nd"] + F.when(x == acc["prev"], 0).otherwise(1)).alias("nd"),
-            ),
-            lambda acc: F.struct(acc["mx"].alias("mx"), acc["nd"].alias("nd")),
+        per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        per_doc = per_gram.groupBy("doc_id").agg(
+            F.max("c").alias("mx"),
+            F.sum("c").alias("tot"),
+            F.count(F.lit(1)).alias("uniq"),
         )
-
-    def frac(num, den):
-        return F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))
-
-    sdf = gdf.select(
-        "doc_id",
-        F.size("g2").cast("long").alias("tot2"),
-        F.size("g3").cast("long").alias("tot3"),
-        run_stats(F.col("g2")).alias("r2"),
-        run_stats(F.col("g3")).alias("r3"),
-    )
-    return sdf.select(
-        "doc_id",
-        frac(F.col("r2.mx"), F.col("tot2")).alias("top_bigram_frac"),
-        frac(F.col("r3.mx"), F.col("tot3")).alias("top_trigram_frac"),
-        frac(F.col("tot3") - F.col("r3.nd"), F.col("tot3")).alias("dup_trigram_frac"),
+        cols = [F.round(F.col("mx") / F.col("tot"), 6).alias(f"top_{label}_frac")]
+        if n == 3:
+            cols.append(
+                F.round((F.col("tot") - F.col("uniq")) / F.col("tot"), 6).alias("dup_trigram_frac")
+            )
+        out = out.join(per_doc.select("doc_id", *cols), "doc_id", "left")
+    fill = {c: 0.0 for c in ("top_bigram_frac", "top_trigram_frac", "dup_trigram_frac")}
+    return out.fillna(fill).select(
+        "doc_id", "top_bigram_frac", "top_trigram_frac", "dup_trigram_frac"
     )
 
 
