@@ -28,8 +28,51 @@ from frontier_engine.multimodal import parse_data_urls, size_cap_filter  # noqa:
 from frontier_engine.pipeline import run_post_processing  # noqa: E402
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+# tables whose queries are dominated by per-row COMPUTE (md5 hash
+# families, regex extraction, 64-element vector folds), not by IO
+_WIDE_COMPUTE_TABLES = {"documents", "embeddings"}
+
+
+# fan-out granularity for the compute-heavy tables: one task per ~256 KiB
+# of compressed input keeps per-task compute (md5/regex/fold seconds per
+# MB) far above scheduling overhead at every sf — measured sweep at sf0.1:
+# 8 partitions beat both the natural split (1 row group!) and a flat
+# cores-wide fan (tfidf 0.87 s vs 1.24 raw vs 1.35 at 32)
+_FANOUT_SPLIT_BYTES = 256 * 1024
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str, fan: bool = True) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if fan and name in _WIDE_COMPUTE_TABLES:
+        # guide §6/§2.5: parquet scans cannot split below row-group
+        # granularity, and this corpus's text/embedding files carry ONE
+        # row group — so every tokenize/md5/fold map stage was pinned to
+        # 1-2 tasks while the other 30 cores idled (measured: the
+        # quality_classifier "md5 floor" was a parallelism collapse, not
+        # arithmetic — 11.1 s raw vs 1.1 s fanned at sf1.0, interleaved).
+        # Fan the scan out ONCE, proportionally to input bytes and capped
+        # at the core count; the guard makes this a no-op at scale
+        # (100 TB inputs split past any core count on their own), and the
+        # shuffle it adds moves table MBs to unlock compute seconds.
+        # Results are row-identical: every downstream op is keyed or
+        # row-local, never partition-order-dependent.
+        try:
+            if os.path.isdir(path):
+                nbytes = sum(
+                    os.path.getsize(os.path.join(path, f))
+                    for f in os.listdir(path)
+                    if not f.startswith(("_", "."))
+                )
+            else:
+                nbytes = os.path.getsize(path)
+        except OSError:
+            nbytes = 0
+        cores = spark.sparkContext.defaultParallelism
+        target = min(cores, max(2, int(nbytes // _FANOUT_SPLIT_BYTES)))
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -370,7 +413,9 @@ def q_pipeline_ops(spark, sf):
 
 
 def q_dedup_exact(spark, sf):
-    return textops.dedup_exact(_t(spark, sf, "documents"))
+    # fan=False: one md5 + one partial agg per row - the fan shuffle
+    # costs more than the map time it spreads (0.40 -> 0.75 s fanned)
+    return textops.dedup_exact(_t(spark, sf, "documents", fan=False))
 
 
 def q_minhash_signatures(spark, sf):
@@ -559,7 +604,8 @@ _SAMPLE_RATES = {"en": 800, "zh": 500, "de": 400, "fr": 300, "es": 200}
 
 def q_sample_stratified(spark, sf):
     """Deterministic per-language hash-bucket sampling (data mixing)."""
-    return textops.sample_stratified(_t(spark, sf, "documents"), _SAMPLE_RATES)
+    # fan=False: map-only hash filter, no compute to spread
+    return textops.sample_stratified(_t(spark, sf, "documents", fan=False), _SAMPLE_RATES)
 
 
 def q_token_budget(spark, sf):
@@ -568,7 +614,9 @@ def q_token_budget(spark, sf):
     prefix over the bucket totals + broadcast offsets), integer math end to
     end.  No window partition spans a whole source, so parallelism is
     #sources × n_buckets, not #sources (VERDICT r3 #1)."""
-    return textops.token_budget_sample(_t(spark, sf, "documents"), budget_permille=400)
+    # fan=False: the token projection is evaluated by several window/join
+    # consumers — each would re-run the fan shuffle (the bm25 rationale)
+    return textops.token_budget_sample(_t(spark, sf, "documents", fan=False), budget_permille=400)
 
 
 def q_training_pipeline(spark, sf, materialize=True):
@@ -711,7 +759,9 @@ def q_bm25_topk(spark, sf):
     corpus — lexical topic slicing for curation/eval-set construction.
     Integer output (score ×10⁶); the per-doc float sum is an ordered fold
     by term, mirrored by the oracle's list_sum (ORDER BY term)."""
-    return textops.bm25_topk(_t(spark, sf, "documents"), _BM25_TERMS, k=20)
+    # fan=False: stats/tf/dl evaluate the scan three times - three fan
+    # shuffles outweigh the explode they spread (2.57 -> 2.98 s fanned)
+    return textops.bm25_topk(_t(spark, sf, "documents", fan=False), _BM25_TERMS, k=20)
 
 
 def q_pagerank(spark, sf):
@@ -721,7 +771,10 @@ def q_pagerank(spark, sf):
     lands on real nodes and guarantees outdeg ≥ 1: no dangling mass).
     The crawl-frontier prioritization signal; ordered in-flow fold makes
     the ×10⁹ integer ranks hash-identical to the DuckDB twin."""
-    d = _t(spark, sf, "documents")
+    # fan=False: nodes/edges are evaluated ~6x inside the iteration
+    # lineage and each evaluation would re-run the fan shuffle while
+    # the per-row work is one h60 triple (measured 3.2 -> 5.6 s fanned)
+    d = _t(spark, sf, "documents", fan=False)
     n = d.count()
     edges = d.select(
         F.col("doc_id").alias("src"),
@@ -825,7 +878,8 @@ def q_warc_roundtrip(spark, sf):
     response records — identity vs the documents table proves the writer,
     the parser, and the non-response filter in one oracle.  The payload
     column dies at the first projection (md5 + declared length only)."""
-    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    # fan=False: the pack stage shuffles by source immediately anyway
+    d = _t(spark, sf, "documents", fan=False).select("doc_id", "source", "text")
 
     def build(key, pdf):
         import gzip
