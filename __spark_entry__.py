@@ -934,7 +934,9 @@ def q_anchor_rollup(spark, sf):
     slice of the SOURCE doc at offset k.  Per-target in-link counts,
     distinct sources/anchors, and the lexicographic-min representative
     anchor — all partial-aggregatable."""
-    d = _t(spark, sf, "documents")
+    # fan=False: d is evaluated twice (count + links) and the per-row work
+    # is three h60 calls — the double fan shuffle outweighs the spread
+    d = _t(spark, sf, "documents", fan=False)
     n = d.count()
     pairs = F.array(
         *[
